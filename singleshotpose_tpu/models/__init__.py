@@ -1,0 +1,2 @@
+from .darknet import DarknetSpec, fold_batchnorm  # noqa: F401
+from . import layers  # noqa: F401

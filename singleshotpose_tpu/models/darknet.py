@@ -1,0 +1,416 @@
+"""cfg-compiled Darknet: darknet ``.cfg`` blocks → a jittable NHWC forward fn.
+
+This replaces the reference's ``nn.ModuleList`` block interpreter
+(reference: ``darknet.py:60-249``) with a compile-once design: the cfg is
+parsed into a static :class:`DarknetSpec` (pure Python, hashable), and
+``apply`` traces a single XLA graph.  Route/shortcut connectivity is resolved
+at spec-build time, and only the outputs that a later route/shortcut actually
+consumes are kept live (the reference caches *every* layer output in a dict,
+``darknet.py:85,95``).
+
+Layout: NHWC activations, HWIO weights — the MXU-native choice.  Params and
+running BN statistics are plain nested dicts (pytrees) so they shard/serialize
+trivially with pjit and the darknet ``.weights`` codec.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import (
+    NetConfig,
+    RegionConfig,
+    net_config_from_block,
+    parse_cfg,
+    region_config_from_block,
+)
+from . import layers as L
+
+__all__ = ["DarknetSpec", "ConvSpec", "fold_batchnorm"]
+
+
+# ---------------------------------------------------------------------------
+# Layer specs (static metadata, resolved at cfg-compile time)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class ConvSpec:
+    name: str          # params key, e.g. "conv_3"
+    in_filters: int
+    filters: int
+    size: int
+    stride: int
+    pad: int
+    batch_normalize: bool
+    activation: str    # "leaky" | "relu" | "linear"
+
+
+@dataclasses.dataclass(frozen=True)
+class MaxPoolSpec:
+    size: int
+    stride: int
+
+
+@dataclasses.dataclass(frozen=True)
+class ReorgSpec:
+    stride: int
+
+
+@dataclasses.dataclass(frozen=True)
+class RouteSpec:
+    layers: Tuple[int, ...]  # absolute layer indices
+
+
+@dataclasses.dataclass(frozen=True)
+class ShortcutSpec:
+    from_layer: int          # absolute layer index
+    activation: str
+
+
+@dataclasses.dataclass(frozen=True)
+class AvgPoolSpec:
+    pass
+
+
+@dataclasses.dataclass(frozen=True)
+class SoftmaxSpec:
+    pass
+
+
+@dataclasses.dataclass(frozen=True)
+class ConnectedSpec:
+    name: str
+    in_features: int
+    out_features: int
+    activation: str
+
+
+@dataclasses.dataclass(frozen=True)
+class RegionSpec:
+    """Placeholder: the region block carries loss hyperparams, skipped in the
+    forward pass (reference: ``darknet.py:119-120``)."""
+    region: RegionConfig
+
+
+LayerSpec = Union[ConvSpec, MaxPoolSpec, ReorgSpec, RouteSpec, ShortcutSpec,
+                  AvgPoolSpec, SoftmaxSpec, ConnectedSpec, RegionSpec]
+
+
+class DarknetSpec:
+    """Static network description compiled from a darknet ``.cfg``."""
+
+    def __init__(self, blocks: Sequence[Dict[str, str]]):
+        self.blocks: List[Dict[str, str]] = list(blocks)
+        assert self.blocks and self.blocks[0]["type"] == "net"
+        self.net: NetConfig = net_config_from_block(self.blocks[0])
+        self.region: Optional[RegionConfig] = None
+        self.layers: List[LayerSpec] = []
+
+        prev_filters = self.net.channels
+        out_filters: List[int] = []
+        conv_id = 0
+        for block in self.blocks[1:]:
+            btype = block["type"]
+            ind = len(self.layers)
+            if btype == "convolutional":
+                conv_id += 1
+                filters = int(block["filters"])
+                size = int(block["size"])
+                stride = int(block["stride"])
+                pad = (size - 1) // 2 if int(block["pad"]) else 0
+                self.layers.append(ConvSpec(
+                    name=f"conv_{conv_id}",
+                    in_filters=prev_filters,
+                    filters=filters,
+                    size=size,
+                    stride=stride,
+                    pad=pad,
+                    batch_normalize=bool(int(block["batch_normalize"])),
+                    activation=block.get("activation", "linear"),
+                ))
+                prev_filters = filters
+            elif btype == "maxpool":
+                self.layers.append(MaxPoolSpec(int(block["size"]), int(block["stride"])))
+            elif btype == "avgpool":
+                self.layers.append(AvgPoolSpec())
+            elif btype == "softmax":
+                self.layers.append(SoftmaxSpec())
+            elif btype == "cost":
+                # Training-cost placeholder; no-op at inference (darknet.py:128-129).
+                self.layers.append(RegionSpec(RegionConfig()))
+            elif btype == "reorg":
+                stride = int(block["stride"])
+                self.layers.append(ReorgSpec(stride))
+                prev_filters = stride * stride * prev_filters
+            elif btype == "route":
+                refs = [int(i) for i in block["layers"].split(",")]
+                refs = tuple(i if i > 0 else i + ind for i in refs)
+                self.layers.append(RouteSpec(refs))
+                prev_filters = sum(out_filters[i] for i in refs)
+            elif btype == "shortcut":
+                frm = int(block["from"])
+                frm = frm if frm > 0 else frm + ind
+                self.layers.append(ShortcutSpec(frm, block.get("activation", "linear")))
+                prev_filters = out_filters[ind - 1]
+            elif btype == "connected":
+                conv_id += 1
+                out_features = int(block["output"])
+                self.layers.append(ConnectedSpec(
+                    name=f"fc_{conv_id}",
+                    in_features=prev_filters,
+                    out_features=out_features,
+                    activation=block.get("activation", "linear"),
+                ))
+                prev_filters = out_features
+            elif btype == "region":
+                region = region_config_from_block(block)
+                self.region = region
+                self.layers.append(RegionSpec(region))
+            else:
+                raise ValueError(f"unknown block type {btype!r}")
+            out_filters.append(prev_filters)
+
+        self.out_filters = out_filters
+        # Liveness: which layer outputs are re-read by a later route/shortcut.
+        needed = set()
+        for i, spec in enumerate(self.layers):
+            if isinstance(spec, RouteSpec):
+                needed.update(spec.layers)
+            elif isinstance(spec, ShortcutSpec):
+                needed.add(spec.from_layer)
+                needed.add(i - 1)
+        self._live = frozenset(needed)
+
+    # -- constructors --------------------------------------------------------
+
+    @classmethod
+    def from_cfg(cls, cfgfile: str) -> "DarknetSpec":
+        return cls(parse_cfg(cfgfile))
+
+    # -- convenience ---------------------------------------------------------
+
+    @property
+    def num_keypoints(self) -> int:
+        return self.net.num_keypoints
+
+    @property
+    def num_classes(self) -> int:
+        return self.region.classes if self.region else 0
+
+    @property
+    def num_anchors(self) -> int:
+        return self.region.num if self.region else 1
+
+    @property
+    def anchors(self) -> Tuple[float, ...]:
+        return self.region.anchors if self.region else ()
+
+    def conv_specs(self) -> List[ConvSpec]:
+        return [l for l in self.layers if isinstance(l, ConvSpec)]
+
+    # -- parameters ----------------------------------------------------------
+
+    def init_params(self, rng: jax.Array, dtype=jnp.float32):
+        """Torch-default init (kaiming_uniform(a=√5) ⇒ U(±1/√fan_in)) so
+        randomly-initialized nets are statistically comparable to the
+        reference's ``nn.Conv2d`` defaults."""
+        params: Dict[str, Dict[str, jax.Array]] = {}
+        batch_stats: Dict[str, Dict[str, jax.Array]] = {}
+        for spec in self.layers:
+            if isinstance(spec, ConvSpec):
+                rng, kw, kb = jax.random.split(rng, 3)
+                fan_in = spec.in_filters * spec.size * spec.size
+                bound = 1.0 / float(np.sqrt(fan_in))
+                p: Dict[str, jax.Array] = {
+                    "w": jax.random.uniform(
+                        kw, (spec.size, spec.size, spec.in_filters, spec.filters),
+                        dtype, -bound, bound),
+                }
+                if spec.batch_normalize:
+                    p["scale"] = jnp.ones((spec.filters,), dtype)
+                    p["bias"] = jnp.zeros((spec.filters,), dtype)
+                    batch_stats[spec.name] = {
+                        "mean": jnp.zeros((spec.filters,), dtype),
+                        "var": jnp.ones((spec.filters,), dtype),
+                    }
+                else:
+                    p["b"] = jax.random.uniform(kb, (spec.filters,), dtype, -bound, bound)
+                params[spec.name] = p
+            elif isinstance(spec, ConnectedSpec):
+                rng, kw, kb = jax.random.split(rng, 3)
+                bound = 1.0 / float(np.sqrt(spec.in_features))
+                params[spec.name] = {
+                    "w": jax.random.uniform(
+                        kw, (spec.in_features, spec.out_features), dtype, -bound, bound),
+                    "b": jax.random.uniform(kb, (spec.out_features,), dtype, -bound, bound),
+                }
+        return params, batch_stats
+
+    # -- forward -------------------------------------------------------------
+
+    def apply(self, params, x: jax.Array, *, batch_stats=None, train: bool = False,
+              compute_dtype=None):
+        """Run the network. ``x`` is NHWC float (0..1 RGB).
+
+        Inference (``train=False``): uses running BN stats; returns the raw
+        head tensor (B, H/32, W/32, nA*(2K+1+C)) — region/cost blocks are
+        skipped exactly like the reference forward (``darknet.py:119-129``).
+
+        Training (``train=True``): batch-stat BN; returns (out, new_batch_stats).
+
+        ``compute_dtype=jnp.bfloat16`` casts conv inputs/weights to bf16 with
+        f32 accumulation — the TPU fast path.
+        """
+        if train and batch_stats is None:
+            raise ValueError("train=True requires batch_stats")
+        new_stats: Dict[str, Dict[str, jax.Array]] = {}
+        cache: Dict[int, jax.Array] = {}
+        cd = compute_dtype
+
+        for i, spec in enumerate(self.layers):
+            if isinstance(spec, ConvSpec):
+                p = params[spec.name]
+                w = p["w"]
+                xin = x
+                if cd is not None:
+                    w = w.astype(cd)
+                    xin = xin.astype(cd)
+                x = L.conv2d(xin, w, spec.stride, spec.pad, preferred_dtype=jnp.float32)
+                if spec.batch_normalize:
+                    if train:
+                        st = batch_stats[spec.name]
+                        x, nm, nv = L.batch_norm_train(
+                            x, p["scale"], p["bias"], st["mean"], st["var"])
+                        new_stats[spec.name] = {"mean": nm, "var": nv}
+                    else:
+                        st = batch_stats[spec.name] if batch_stats else None
+                        if st is None:
+                            raise ValueError("inference requires batch_stats (running BN)")
+                        x = L.batch_norm(x, p["scale"], p["bias"], st["mean"], st["var"])
+                else:
+                    x = x + p["b"]
+                if spec.activation == "leaky":
+                    x = L.leaky_relu(x)
+                elif spec.activation == "relu":
+                    x = jnp.maximum(x, 0)
+            elif isinstance(spec, MaxPoolSpec):
+                x = L.max_pool(x, spec.size, spec.stride) if spec.stride > 1 \
+                    else L.max_pool_stride1(x)
+            elif isinstance(spec, ReorgSpec):
+                x = L.reorg(x, spec.stride)
+            elif isinstance(spec, RouteSpec):
+                srcs = [cache[j] for j in spec.layers]
+                x = srcs[0] if len(srcs) == 1 else jnp.concatenate(srcs, axis=-1)
+            elif isinstance(spec, ShortcutSpec):
+                x = cache[spec.from_layer] + cache[i - 1]
+                if spec.activation == "leaky":
+                    x = L.leaky_relu(x)
+                elif spec.activation == "relu":
+                    x = jnp.maximum(x, 0)
+            elif isinstance(spec, AvgPoolSpec):
+                x = L.global_avg_pool(x)
+            elif isinstance(spec, SoftmaxSpec):
+                x = jax.nn.softmax(x, axis=-1)
+            elif isinstance(spec, ConnectedSpec):
+                p = params[spec.name]
+                x = x.reshape(x.shape[0], -1) @ p["w"] + p["b"]
+                if spec.activation == "leaky":
+                    x = L.leaky_relu(x)
+                elif spec.activation == "relu":
+                    x = jnp.maximum(x, 0)
+            elif isinstance(spec, RegionSpec):
+                continue  # loss-carrier block: no-op at forward
+            if i in self._live:
+                cache[i] = x
+
+        if train:
+            # carry forward unchanged stats for completeness
+            for k, v in batch_stats.items():
+                new_stats.setdefault(k, v)
+            return x, new_stats
+        return x
+
+    def apply_folded(self, folded_params, x: jax.Array, *, compute_dtype=None):
+        """Inference with BN pre-folded into conv weight/bias (see
+        :func:`fold_batchnorm`) — the fastest serving path: one conv + bias +
+        leaky per block, fully fusible by XLA."""
+        cache: Dict[int, jax.Array] = {}
+        cd = compute_dtype
+        for i, spec in enumerate(self.layers):
+            if isinstance(spec, ConvSpec):
+                p = folded_params[spec.name]
+                w = p["w"]
+                xin = x
+                if cd is not None:
+                    w = w.astype(cd)
+                    xin = xin.astype(cd)
+                x = L.conv2d(xin, w, spec.stride, spec.pad, preferred_dtype=jnp.float32)
+                x = x + p["b"]
+                if spec.activation == "leaky":
+                    x = L.leaky_relu(x)
+                elif spec.activation == "relu":
+                    x = jnp.maximum(x, 0)
+            elif isinstance(spec, MaxPoolSpec):
+                x = L.max_pool(x, spec.size, spec.stride) if spec.stride > 1 \
+                    else L.max_pool_stride1(x)
+            elif isinstance(spec, ReorgSpec):
+                x = L.reorg(x, spec.stride)
+            elif isinstance(spec, RouteSpec):
+                srcs = [cache[j] for j in spec.layers]
+                x = srcs[0] if len(srcs) == 1 else jnp.concatenate(srcs, axis=-1)
+            elif isinstance(spec, ShortcutSpec):
+                x = cache[spec.from_layer] + cache[i - 1]
+                if spec.activation == "leaky":
+                    x = L.leaky_relu(x)
+                elif spec.activation == "relu":
+                    x = jnp.maximum(x, 0)
+            elif isinstance(spec, AvgPoolSpec):
+                x = L.global_avg_pool(x)
+            elif isinstance(spec, SoftmaxSpec):
+                x = jax.nn.softmax(x, axis=-1)
+            elif isinstance(spec, ConnectedSpec):
+                p = folded_params[spec.name]
+                x = x.reshape(x.shape[0], -1) @ p["w"] + p["b"]
+                if spec.activation == "leaky":
+                    x = L.leaky_relu(x)
+                elif spec.activation == "relu":
+                    x = jnp.maximum(x, 0)
+            elif isinstance(spec, RegionSpec):
+                continue
+            if i in self._live:
+                cache[i] = x
+        return x
+
+    def format_network(self) -> str:
+        from ..config import format_cfg_table
+        return format_cfg_table(self.blocks)
+
+
+def fold_batchnorm(spec: DarknetSpec, params, batch_stats, eps: float = L.BN_EPS):
+    """Fold running BN statistics into conv weights/biases for serving.
+
+    conv-bn(x) = gamma * (W*x - mean)/sqrt(var+eps) + beta
+               = (W * gamma/sqrt(var+eps)) * x + (beta - gamma*mean/sqrt(var+eps))
+    """
+    folded = {}
+    for lspec in spec.layers:
+        if isinstance(lspec, ConvSpec):
+            p = params[lspec.name]
+            if lspec.batch_normalize:
+                st = batch_stats[lspec.name]
+                inv = p["scale"] / jnp.sqrt(st["var"] + eps)
+                folded[lspec.name] = {
+                    "w": p["w"] * inv[None, None, None, :],
+                    "b": p["bias"] - st["mean"] * inv,
+                }
+            else:
+                folded[lspec.name] = {"w": p["w"], "b": p["b"]}
+        elif isinstance(lspec, ConnectedSpec):
+            folded[lspec.name] = dict(params[lspec.name])
+    return folded

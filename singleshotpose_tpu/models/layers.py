@@ -1,0 +1,118 @@
+"""Primitive layer ops for the cfg-compiled Darknet, NHWC / TPU-first.
+
+These are the JAX equivalents of the reference's custom torch modules
+(reference: ``darknet.py:8-56`` — ``MaxPoolStride1``, ``Reorg``,
+``GlobalAvgPool2d``), re-derived for NHWC layout so convolutions map directly
+onto the MXU and XLA can fuse the elementwise tails (BN/leaky) into the conv.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = [
+    "conv2d",
+    "batch_norm",
+    "leaky_relu",
+    "max_pool",
+    "max_pool_stride1",
+    "reorg",
+    "global_avg_pool",
+]
+
+BN_EPS = 1e-4  # reference: darknet.py:157 (nn.BatchNorm2d(filters, eps=1e-4))
+
+
+def conv2d(x: jax.Array, w: jax.Array, stride: int, pad: int,
+           *, preferred_dtype=jnp.float32) -> jax.Array:
+    """2-D convolution, NHWC activations × HWIO weights (MXU-friendly).
+
+    ``pad`` is symmetric spatial padding, matching torch ``nn.Conv2d(padding=pad)``.
+    """
+    return lax.conv_general_dilated(
+        x, w,
+        window_strides=(stride, stride),
+        padding=[(pad, pad), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=preferred_dtype,
+    )
+
+
+def batch_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
+               mean: jax.Array, var: jax.Array, eps: float = BN_EPS) -> jax.Array:
+    """Normalize with given statistics (inference form). All math in f32."""
+    inv = scale * lax.rsqrt(var + eps)
+    return x * inv + (bias - mean * inv)
+
+
+def batch_norm_train(x: jax.Array, scale: jax.Array, bias: jax.Array,
+                     running_mean: jax.Array, running_var: jax.Array,
+                     *, eps: float = BN_EPS, momentum: float = 0.1):
+    """Training-mode batch norm over (N,H,W) with torch-compatible running-stat
+    update: normalize with the *biased* batch variance, update running_var with
+    the *unbiased* one, ``running = (1-m)*running + m*batch`` (torch default
+    momentum 0.1, as used by the reference's ``nn.BatchNorm2d``).
+
+    Under pjit with the batch axis sharded, the mean/var reductions become
+    global (XLA inserts the cross-chip psum), i.e. sync-BN across the data-
+    parallel mesh — a deliberate improvement over per-device BN.
+
+    Returns (y, new_running_mean, new_running_var).
+    """
+    x32 = x.astype(jnp.float32)
+    batch_mean = jnp.mean(x32, axis=(0, 1, 2))
+    batch_var = jnp.mean(jnp.square(x32), axis=(0, 1, 2)) - jnp.square(batch_mean)
+    n = x.shape[0] * x.shape[1] * x.shape[2]
+    unbiased = batch_var * (n / max(n - 1, 1))
+    y = batch_norm(x, scale, bias, batch_mean, batch_var, eps)
+    new_mean = (1 - momentum) * running_mean + momentum * batch_mean
+    new_var = (1 - momentum) * running_var + momentum * unbiased
+    return y, new_mean, new_var
+
+
+def leaky_relu(x: jax.Array, negative_slope: float = 0.1) -> jax.Array:
+    return jnp.where(x >= 0, x, negative_slope * x)
+
+
+def max_pool(x: jax.Array, size: int, stride: int) -> jax.Array:
+    """Max pool, VALID padding (torch ``nn.MaxPool2d(size, stride)`` default)."""
+    return lax.reduce_window(
+        x, -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        lax.max,
+        window_dimensions=(1, size, size, 1),
+        window_strides=(1, stride, stride, 1),
+        padding="VALID",
+    )
+
+
+def max_pool_stride1(x: jax.Array) -> jax.Array:
+    """Stride-1 2×2 max pool with replicate pad right/bottom.
+
+    Reference: ``darknet.py:8-14`` (``F.max_pool2d(F.pad(x,(0,1,0,1),'replicate'),2,1)``).
+    """
+    x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)), mode="edge")
+    return max_pool(x, 2, 1)
+
+
+def reorg(x: jax.Array, stride: int = 2) -> jax.Array:
+    """Space-to-depth with darknet's channel ordering.
+
+    Derived from the reference's view/transpose sequence (``darknet.py:16-34``):
+    out[b, i, k, (j*stride + l)*C + c] = x[b, i*stride + j, k*stride + l, c]
+    i.e. the intra-block spatial offset is the *major* axis of the new channel
+    dim and the original channel the minor one.  A plain
+    ``jax.lax.space_to_depth`` style reshape would give (c-major) ordering and
+    break bit-parity with reference ``.weights`` consumers.
+    """
+    b, h, w, c = x.shape
+    assert h % stride == 0 and w % stride == 0
+    x = x.reshape(b, h // stride, stride, w // stride, stride, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // stride, w // stride, stride * stride * c)
+
+
+def global_avg_pool(x: jax.Array) -> jax.Array:
+    """(B,H,W,C) -> (B,C) mean (reference: ``darknet.py:37-48``)."""
+    return jnp.mean(x, axis=(1, 2))

@@ -1,0 +1,28 @@
+"""Test env: force CPU backend with 8 virtual devices so pjit/sharding tests
+run single-host without TPUs (the standard JAX testing recipe)."""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+REFERENCE_DIR = "/root/reference"
+
+
+def has_reference() -> bool:
+    return os.path.isdir(REFERENCE_DIR)
+
+
+@pytest.fixture(scope="session")
+def reference_dir():
+    if not has_reference():
+        pytest.skip("reference repo not available")
+    return REFERENCE_DIR

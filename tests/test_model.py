@@ -1,0 +1,118 @@
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from singleshotpose_tpu.models.darknet import DarknetSpec, fold_batchnorm
+from singleshotpose_tpu.models import layers as L
+from singleshotpose_tpu.weights import save_weights
+
+REF_CFG = "/root/reference/cfg/yolo-pose.cfg"
+
+
+def test_reorg_matches_darknet_ordering():
+    """out[b,i,k,(j*s+l)*C+c] == x[b,i*s+j,k*s+l,c] (darknet.py:16-34)."""
+    b, h, w, c, s = 2, 4, 6, 3, 2
+    x = np.arange(b * h * w * c, dtype=np.float32).reshape(b, h, w, c)
+    y = np.asarray(L.reorg(jnp.asarray(x), s))
+    assert y.shape == (b, h // s, w // s, s * s * c)
+    for bi in range(b):
+        for i in range(h // s):
+            for k in range(w // s):
+                for j in range(s):
+                    for l in range(s):
+                        for ci in range(c):
+                            assert y[bi, i, k, (j * s + l) * c + ci] == \
+                                x[bi, i * s + j, k * s + l, ci]
+
+
+def test_maxpool_stride1_shape_and_replicate_pad():
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 5, 5, 2).astype(np.float32))
+    y = L.max_pool_stride1(x)
+    assert y.shape == x.shape
+    # bottom-right corner equals max of the 2x2 replicate-padded window = x[-1,-1] vicinity
+    xn = np.asarray(x)
+    assert np.asarray(y)[0, 4, 4, 0] == xn[0, 4, 4, 0].max()
+
+
+@pytest.mark.skipif(not os.path.exists(REF_CFG), reason="reference cfg absent")
+def test_spec_compiles_reference_cfg():
+    spec = DarknetSpec.from_cfg(REF_CFG)
+    assert spec.net.num_keypoints == 9
+    assert spec.region is not None and spec.region.classes == 1
+    # 23 conv layers in yolo-pose.cfg
+    assert len(spec.conv_specs()) == 23
+    # final head 20 channels
+    assert spec.conv_specs()[-1].filters == 20
+
+
+@pytest.mark.skipif(not os.path.exists(REF_CFG), reason="reference cfg absent")
+def test_forward_output_shape():
+    spec = DarknetSpec.from_cfg(REF_CFG)
+    params, stats = spec.init_params(jax.random.PRNGKey(0))
+    x = jnp.zeros((1, 416, 416, 3), jnp.float32)
+    out = spec.apply(params, x, batch_stats=stats, train=False)
+    assert out.shape == (1, 13, 13, 20)
+
+
+@pytest.mark.skipif(not os.path.exists(REF_CFG), reason="reference cfg absent")
+def test_forward_matches_reference_torch(reference_dir, tmp_path):
+    """A/B the raw head tensor against the reference torch model loaded from a
+    weights file our codec wrote — validates both the codec layout and every
+    layer's numerics in one shot."""
+    torch = pytest.importorskip("torch")
+
+    spec = DarknetSpec.from_cfg(REF_CFG)
+    params, stats = spec.init_params(jax.random.PRNGKey(42))
+    # perturb BN stats so the test isn't trivially scale-invariant
+    rng = np.random.RandomState(7)
+    for name in stats:
+        n = stats[name]["mean"].shape[0]
+        stats[name] = {
+            "mean": jnp.asarray(rng.randn(n).astype(np.float32) * 0.1),
+            "var": jnp.asarray(rng.rand(n).astype(np.float32) + 0.5),
+        }
+    wfile = str(tmp_path / "ab.weights")
+    save_weights(spec, params, stats, wfile, seen=0)
+
+    sys.path.insert(0, reference_dir)
+    try:
+        import importlib
+        ref_darknet = importlib.import_module("darknet")
+        model = ref_darknet.Darknet(REF_CFG)
+        model.load_weights(wfile)
+        model.eval()
+        img = rng.rand(1, 3, 128, 128).astype(np.float32)
+        with torch.no_grad():
+            ref_out = model(torch.from_numpy(img)).numpy()  # NCHW (1,20,4,4)
+    finally:
+        sys.path.remove(reference_dir)
+
+    x = jnp.asarray(img.transpose(0, 2, 3, 1))
+    ours = np.asarray(spec.apply(params, x, batch_stats=stats, train=False))
+    ours_nchw = ours.transpose(0, 3, 1, 2)
+    assert ours_nchw.shape == ref_out.shape
+    np.testing.assert_allclose(ours_nchw, ref_out, rtol=1e-3, atol=1e-3)
+
+    # folded-BN fast path agrees with the unfolded path
+    folded = fold_batchnorm(spec, params, stats)
+    fast = np.asarray(spec.apply_folded(folded, x)).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(fast, ref_out, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.skipif(not os.path.exists(REF_CFG), reason="reference cfg absent")
+def test_train_mode_bn_updates_stats():
+    spec = DarknetSpec.from_cfg(REF_CFG)
+    params, stats = spec.init_params(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3).astype(np.float32))
+    out, new_stats = spec.apply(params, x, batch_stats=stats, train=True)
+    assert out.shape == (2, 2, 2, 20)
+    # running stats moved toward batch stats
+    changed = any(
+        not np.allclose(np.asarray(new_stats[k]["mean"]), np.asarray(stats[k]["mean"]))
+        for k in stats)
+    assert changed
