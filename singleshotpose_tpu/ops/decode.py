@@ -1,0 +1,184 @@
+"""Grid decode / post-processing — fully vectorized, on-device.
+
+Replaces the reference's GPU→CPU copy + 4-deep Python scan
+(``utils.py:216-296`` ``get_region_boxes``; ``utils_multi.py:266-382``
+``get_multi_region_boxes``) with XLA ops so eval keeps the TPU busy.
+
+Layout contract: the head tensor is NHWC (B, H, W, nA*(2K+1+C)) with the
+anchor index *major* in the channel dim (matching the reference's
+``view(nB, nA, 2K+1+C, nH, nW)``).  Flattened cell index is anchor-major,
+``s = a*H*W + cy*W + cx`` — the same ordering the reference scans, so
+first-max argmax tie-breaking matches its strict ``>`` update rule for the
+single-anchor case.
+
+Deliberate divergences from the reference (documented, saner semantics):
+  * single-object best-box is computed *per image*; the reference never
+    resets ``max_conf`` across batch elements (``utils.py:230``) and with
+    batch>1 returns one box for the whole batch (it only ever runs at B=1).
+  * the multi-object fallback tracker resets both running maxima per image;
+    the reference carries ``max_cls_conf`` across images
+    (``utils_multi.py:280``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["DecodedGrid", "decode_grid", "best_boxes", "best_box_for_class",
+           "multi_region_boxes_np"]
+
+
+class DecodedGrid(NamedTuple):
+    """Per-cell decoded predictions; S = nA*H*W, anchor-major."""
+    corners: jax.Array    # (B, S, 2K) normalized to [0,1] grid fractions
+    det_conf: jax.Array   # (B, S) sigmoid objectness
+    cls_probs: jax.Array  # (B, S, C) softmax class distribution
+
+
+def decode_grid(output: jax.Array, num_keypoints: int, num_classes: int,
+                num_anchors: int) -> DecodedGrid:
+    """Decode the raw head tensor.
+
+    Activations per reference ``region_loss.py:109-116`` / ``utils.py:236-248``:
+    sigmoid on the centroid x/y (keypoint 0) and objectness, raw offsets for
+    the 8 corner keypoints, softmax over classes; all plus the cell's grid
+    coordinate, normalized by grid W/H.
+    """
+    B, H, W, D = output.shape
+    K, C, nA = num_keypoints, num_classes, num_anchors
+    assert D == nA * (2 * K + 1 + C), (D, nA, K, C)
+    out = output.reshape(B, H, W, nA, 2 * K + 1 + C)
+    # (B, nA, H, W, D') then flatten cells anchor-major
+    out = out.transpose(0, 3, 1, 2, 4).reshape(B, nA * H * W, 2 * K + 1 + C)
+
+    gx = jnp.tile(jnp.arange(W, dtype=output.dtype)[None, :], (H, 1)).reshape(-1)
+    gy = jnp.tile(jnp.arange(H, dtype=output.dtype)[:, None], (1, W)).reshape(-1)
+    grid_x = jnp.tile(gx, (nA,))  # (S,)
+    grid_y = jnp.tile(gy, (nA,))
+
+    kp = out[..., : 2 * K].reshape(B, nA * H * W, K, 2)
+    x0y0 = jax.nn.sigmoid(kp[..., 0:1, :])
+    kp = jnp.concatenate([x0y0, kp[..., 1:, :]], axis=-2)
+    xs = (kp[..., 0] + grid_x[None, :, None]) / W   # (B, S, K)
+    ys = (kp[..., 1] + grid_y[None, :, None]) / H
+    corners = jnp.stack([xs, ys], axis=-1).reshape(B, nA * H * W, 2 * K)
+
+    det_conf = jax.nn.sigmoid(out[..., 2 * K])
+    cls_probs = jax.nn.softmax(out[..., 2 * K + 1:], axis=-1) if C > 0 else \
+        jnp.ones((B, nA * H * W, 0), output.dtype)
+    return DecodedGrid(corners, det_conf, cls_probs)
+
+
+def best_boxes(decoded: DecodedGrid, only_objectness: bool = True) -> jax.Array:
+    """Single-object selection: per image, the max-confidence cell.
+
+    Returns (B, 2K+3): [18 normalized coords, det_conf, cls_max_conf, cls_id]
+    — the reference's box layout (``utils.py:276-288``).
+    """
+    corners, det_conf, cls_probs = decoded
+    C = cls_probs.shape[-1]
+    cls_max = jnp.max(cls_probs, axis=-1) if C > 0 else jnp.ones_like(det_conf)
+    cls_id = jnp.argmax(cls_probs, axis=-1) if C > 0 else \
+        jnp.zeros(det_conf.shape, jnp.int32)
+    score = det_conf if only_objectness else det_conf * cls_max
+    idx = jnp.argmax(score, axis=-1)  # first max wins, matching scan order
+    take = lambda a: jnp.take_along_axis(
+        a, idx.reshape(idx.shape + (1,) * (a.ndim - 1)), axis=1)[:, 0]
+    return jnp.concatenate([
+        take(corners),
+        take(det_conf)[:, None],
+        take(cls_max)[:, None],
+        take(cls_id).astype(corners.dtype)[:, None],
+    ], axis=-1)
+
+
+def best_box_for_class(decoded: DecodedGrid, cls: jax.Array, conf_thresh: float,
+                       only_objectness: bool = False) -> jax.Array:
+    """Multi-object selection for one requested class, on-device.
+
+    Semantics of ``get_multi_region_boxes`` + the eval pick
+    (``utils_multi.py:312-370``, ``valid_multi.py:118-123``) collapsed into
+    one step: among cells with conf above ``conf_thresh`` whose argmax class
+    is ``cls``, take the highest ``det_conf``; if none survive, fall back to
+    the reference's sequential joint-maximum tracker (a cell is adopted only
+    when BOTH its det_conf and its prob for ``cls`` beat every previously
+    adopted cell's — an order-dependent fold, reproduced exactly with a scan).
+
+    Returns (B, 2K+3) boxes; ``cls`` may be a scalar or (B,) per-image class.
+    """
+    corners, det_conf, cls_probs = decoded
+    B, S = det_conf.shape
+    cls = jnp.broadcast_to(jnp.asarray(cls, jnp.int32), (B,))
+    cls_max = jnp.max(cls_probs, axis=-1)
+    cls_id = jnp.argmax(cls_probs, axis=-1)
+    conf = det_conf if only_objectness else det_conf * cls_max
+    cls_p = jnp.take_along_axis(cls_probs, cls[:, None, None], axis=-1)[..., 0]  # (B,S)
+
+    keep = (conf > conf_thresh) & (cls_id == cls[:, None])
+    any_keep = jnp.any(keep, axis=-1)
+    kept_score = jnp.where(keep, det_conf, -jnp.inf)
+    kept_idx = jnp.argmax(kept_score, axis=-1)
+
+    # Fallback: sequential joint-max fold over cells in scan order.
+    def fold(carry, xs):
+        best_det, best_cls, best_ind = carry
+        d, c, i = xs
+        upd = (d > best_det) & (c > best_cls)
+        return (jnp.where(upd, d, best_det), jnp.where(upd, c, best_cls),
+                jnp.where(upd, i, best_ind)), None
+
+    def run_fold(d_row, c_row):
+        init = (jnp.asarray(-jnp.inf, d_row.dtype), jnp.asarray(-jnp.inf, c_row.dtype),
+                jnp.asarray(0, jnp.int32))
+        (bd, bc, bi), _ = lax.scan(fold, init, (d_row, c_row, jnp.arange(S, dtype=jnp.int32)))
+        return bi, bd, bc
+
+    fb_idx, fb_det, fb_cls = jax.vmap(run_fold)(det_conf, cls_p)
+
+    idx = jnp.where(any_keep, kept_idx, fb_idx)
+    take = lambda a: jnp.take_along_axis(
+        a, idx.reshape(idx.shape + (1,) * (a.ndim - 1)), axis=1)[:, 0]
+    out_det = jnp.where(any_keep, take(det_conf), fb_det)
+    out_clsconf = jnp.where(any_keep, take(cls_max), fb_cls)
+    return jnp.concatenate([
+        take(corners),
+        out_det[:, None],
+        out_clsconf[:, None],
+        cls.astype(corners.dtype)[:, None],
+    ], axis=-1)
+
+
+def multi_region_boxes_np(decoded: DecodedGrid, conf_thresh: float,
+                          correspondingclass: int, only_objectness: bool = True):
+    """Host-side full box list per image (toolkit parity with
+    ``get_multi_region_boxes``): all cells above threshold, plus the fallback
+    box when the requested class is missing.  Returns a list (len B) of
+    [ (2K+3,) float arrays ].
+    """
+    import numpy as np
+
+    corners = np.asarray(decoded.corners)
+    det = np.asarray(decoded.det_conf)
+    cls_probs = np.asarray(decoded.cls_probs)
+    B, S, _ = corners.shape
+    cls_max = cls_probs.max(-1)
+    cls_id = cls_probs.argmax(-1)
+    conf = det if only_objectness else det * cls_max
+    all_boxes = []
+    for b in range(B):
+        keep = np.nonzero(conf[b] > conf_thresh)[0]
+        boxes = [np.concatenate([corners[b, s], [det[b, s], cls_max[b, s], cls_id[b, s]]])
+                 for s in keep]
+        if not boxes or not np.any(cls_id[b, keep] == correspondingclass):
+            best_det, best_cls, best_ind = -np.inf, -np.inf, 0
+            for s in range(S):
+                if det[b, s] > best_det and cls_probs[b, s, correspondingclass] > best_cls:
+                    best_det, best_cls, best_ind = det[b, s], cls_probs[b, s, correspondingclass], s
+            boxes.append(np.concatenate([
+                corners[b, best_ind], [best_det, best_cls, float(correspondingclass)]]))
+        all_boxes.append(boxes)
+    return all_boxes

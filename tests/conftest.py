@@ -1,16 +1,25 @@
 """Test env: force CPU backend with 8 virtual devices so pjit/sharding tests
-run single-host without TPUs (the standard JAX testing recipe)."""
+run single-host without TPUs (the standard JAX testing recipe).
+
+Note: this machine's sitecustomize force-registers the axon TPU PJRT plugin,
+which ignores the JAX_PLATFORMS env var — the config.update below is the
+override that actually works, and it must run before any backend init.
+"""
 
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
@@ -26,3 +35,9 @@ def reference_dir():
     if not has_reference():
         pytest.skip("reference repo not available")
     return REFERENCE_DIR
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _assert_cpu_backend():
+    assert jax.devices()[0].platform == "cpu", jax.devices()
+    assert jax.device_count() == 8
