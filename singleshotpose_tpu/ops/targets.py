@@ -1,0 +1,167 @@
+"""Vectorized target assignment (build_targets) — no Python loops, no host sync.
+
+Replaces the reference's per-(batch, target) CPU loops
+(``region_loss.py:9-78`` single; ``region_loss_multi.py:9-95`` multi) with
+XLA ops over the fixed 50-slot padded target tensor.  The forced GPU→CPU
+round-trip of predicted corners every step (``region_loss.py:127``) — the
+reference's main throughput sin — disappears entirely: everything stays on
+device and differentiably feeds the loss (pred corners are stop-gradiented by
+the caller, matching the reference's ``.data`` detach).
+
+Semantics preserved exactly:
+  * the "break at first empty slot" scan over 50 targets → cumulative
+    validity mask (trailing slots after a zero-x0 slot are ignored),
+  * pass 1: conf_mask starts at ``noobject_scale`` and is zeroed wherever the
+    max-over-GT corner confidence of the *predictions* exceeds ``sil_thresh``,
+  * pass 2: responsible cell = centroid cell, per-keypoint in-cell offsets,
+    soft-confidence rescoring target from the current predictions, and
+    last-writer-wins when two GTs land in the same cell (a sequential scan
+    over the 50 slots reproduces the reference's write order).
+
+Documented divergences (reference bugs not copied):
+  * multi-object anchor selection uses argmax IoU (first anchor on ties);
+    the reference leaves ``best_n = -1`` when every IoU is 0 and then
+    *reads the rescoring cell before choosing the anchor* with that -1
+    (``region_loss_multi.py:51,63``), wrapping into another image's memory.
+    Here the rescoring confidence is evaluated at the chosen anchor's cell.
+  * centroid cell indices are clamped to the grid instead of silently
+    indexing out of bounds.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .confidence import corner_confidences
+
+__all__ = ["BuiltTargets", "build_targets"]
+
+
+class BuiltTargets(NamedTuple):
+    coord_mask: jax.Array  # (B, S) 1 at responsible cells
+    conf_mask: jax.Array   # (B, S) noobject/0/object scale weights
+    cls_mask: jax.Array    # (B, S) bool
+    txs: jax.Array         # (B, S, K) in-cell x offsets
+    tys: jax.Array         # (B, S, K)
+    tconf: jax.Array       # (B, S) soft rescoring confidence targets
+    tcls: jax.Array        # (B, S) int class targets
+    num_gt: jax.Array      # scalar
+    num_correct: jax.Array # scalar: rescoring conf > 0.5
+
+
+def _anchor_iou(gw, gh, anchors_wh):
+    """IoU between the origin-centered GT extent box and each anchor
+    (reference: ``bbox_iou`` center form with [0,0,w,h] boxes,
+    ``region_loss_multi.py:66-77``): intersection = min(w)·min(h)."""
+    aw = anchors_wh[:, 0][None, :]  # (1, nA)
+    ah = anchors_wh[:, 1][None, :]
+    iw = jnp.minimum(gw[:, None], aw)
+    ih = jnp.minimum(gh[:, None], ah)
+    inter = jnp.where((iw > 0) & (ih > 0), iw * ih, 0.0)
+    union = gw[:, None] * gh[:, None] + aw * ah - inter
+    return inter / jnp.maximum(union, 1e-12)
+
+
+def build_targets(pred_corners: jax.Array, target: jax.Array, *,
+                  num_keypoints: int, num_anchors: int, nH: int, nW: int,
+                  noobject_scale: float, object_scale: float,
+                  sil_thresh: float,
+                  anchors: Tuple[float, ...] = (),
+                  im_width: float = 640.0, im_height: float = 480.0,
+                  max_num_gt: int = 50) -> BuiltTargets:
+    """Args:
+      pred_corners: (B, S, 2K) normalized predicted keypoints (detached),
+        S = nA*nH*nW anchor-major.
+      target: (B, max_num_gt*(2K+3)) padded label tensor.
+    """
+    K = num_keypoints
+    nA = num_anchors
+    S = nA * nH * nW
+    B = target.shape[0]
+    nl = 2 * K + 3
+    t = target.reshape(B, max_num_gt, nl)
+
+    # "break" semantics: a slot is live only if every slot up to it has x0!=0
+    x0 = t[:, :, 1]
+    valid = jnp.cumprod((x0 != 0).astype(jnp.int32), axis=1).astype(bool)  # (B,50)
+
+    gt_corners = t[:, :, 1:2 * K + 1]                                      # (B,50,2K)
+
+    # ---- pass 1: silence cells whose predictions already match some GT ----
+    confs = corner_confidences(gt_corners[:, :, None, :],
+                               pred_corners[:, None, :, :],
+                               im_width=im_width, im_height=im_height)     # (B,50,S)
+    confs = jnp.where(valid[:, :, None], confs, 0.0)
+    cur_confs = jnp.max(confs, axis=1)                                     # (B,S)
+    conf_mask0 = jnp.where(cur_confs > sil_thresh, 0.0, noobject_scale)
+
+    # ---- anchor choice per GT ----
+    if nA > 1:
+        anchors_wh = jnp.asarray(anchors, jnp.float32).reshape(nA, -1)[:, :2]
+        gw = t[:, :, nl - 2] * nW
+        gh = t[:, :, nl - 1] * nH
+        ious = jax.vmap(_anchor_iou)(gw, gh,
+                                     jnp.broadcast_to(anchors_wh, (B, nA, 2)))
+        best_n = jnp.argmax(ious, axis=-1).astype(jnp.int32)               # (B,50)
+    else:
+        best_n = jnp.zeros((B, max_num_gt), jnp.int32)
+
+    # centroid cell (truncation == floor for the clamped-positive centroid)
+    gi0 = jnp.clip((t[:, :, 1] * nW).astype(jnp.int32), 0, nW - 1)
+    gj0 = jnp.clip((t[:, :, 2] * nH).astype(jnp.int32), 0, nH - 1)
+    cell = best_n * (nH * nW) + gj0 * nW + gi0                             # (B,50)
+
+    # rescoring confidence at the responsible cell, per GT
+    pred_at_cell = jnp.take_along_axis(
+        pred_corners, cell[:, :, None], axis=1)                            # (B,50,2K)
+    gt_conf = corner_confidences(gt_corners, pred_at_cell,
+                                 im_width=im_width, im_height=im_height)   # (B,50)
+
+    # per-keypoint in-cell offsets
+    gx = gt_corners[:, :, 0::2] * nW                                       # (B,50,K)
+    gy = gt_corners[:, :, 1::2] * nH
+    tx_vals = gx - gi0[:, :, None].astype(gx.dtype)
+    ty_vals = gy - gj0[:, :, None].astype(gy.dtype)
+
+    # ---- pass 2: sequential scatter, last writer wins ----
+    bidx = jnp.arange(B)
+
+    def write(state, slot):
+        coord_mask, conf_mask, cls_mask, txs, tys, tconf, tcls = state
+        v = valid[:, slot]
+        c = cell[:, slot]
+
+        def upd(arr, val):
+            return arr.at[bidx, c].set(jnp.where(v, val, arr[bidx, c]))
+
+        coord_mask = upd(coord_mask, 1.0)
+        cls_mask = upd(cls_mask, True)
+        conf_mask = upd(conf_mask, object_scale)
+        tconf = upd(tconf, gt_conf[:, slot])
+        tcls = upd(tcls, t[:, slot, 0].astype(jnp.int32))
+        txs = txs.at[bidx, c].set(
+            jnp.where(v[:, None], tx_vals[:, slot], txs[bidx, c]))
+        tys = tys.at[bidx, c].set(
+            jnp.where(v[:, None], ty_vals[:, slot], tys[bidx, c]))
+        return (coord_mask, conf_mask, cls_mask, txs, tys, tconf, tcls), None
+
+    init = (
+        jnp.zeros((B, S)),              # coord_mask
+        conf_mask0,                     # conf_mask
+        jnp.zeros((B, S), bool),        # cls_mask
+        jnp.zeros((B, S, K)),           # txs
+        jnp.zeros((B, S, K)),           # tys
+        jnp.zeros((B, S)),              # tconf
+        jnp.zeros((B, S), jnp.int32),   # tcls
+    )
+    (coord_mask, conf_mask, cls_mask, txs, tys, tconf, tcls), _ = jax.lax.scan(
+        write, init, jnp.arange(max_num_gt))
+
+    num_gt = jnp.sum(valid.astype(jnp.int32))
+    num_correct = jnp.sum((valid & (gt_conf > 0.5)).astype(jnp.int32))
+    return BuiltTargets(coord_mask, conf_mask, cls_mask, txs, tys, tconf,
+                        tcls, num_gt, num_correct)
