@@ -281,7 +281,8 @@ class DarknetSpec:
                 if cd is not None:
                     w = w.astype(cd)
                     xin = xin.astype(cd)
-                x = L.conv2d(xin, w, spec.stride, spec.pad, preferred_dtype=jnp.float32)
+                x = L.conv2d(xin, w, spec.stride, spec.pad,
+                             preferred_dtype=None if cd is not None else jnp.float32)
                 if spec.batch_normalize:
                     if train:
                         st = batch_stats[spec.name]
@@ -350,7 +351,8 @@ class DarknetSpec:
                 if cd is not None:
                     w = w.astype(cd)
                     xin = xin.astype(cd)
-                x = L.conv2d(xin, w, spec.stride, spec.pad, preferred_dtype=jnp.float32)
+                x = L.conv2d(xin, w, spec.stride, spec.pad,
+                             preferred_dtype=None if cd is not None else jnp.float32)
                 x = x + p["b"]
                 if spec.activation == "leaky":
                     x = L.leaky_relu(x)
