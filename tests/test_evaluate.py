@@ -1,0 +1,97 @@
+"""Eval harness tests against synthetic poses with known errors."""
+
+import numpy as np
+import pytest
+
+from singleshotpose_tpu.evaluate import (
+    EvalContext, PoseErrors, accuracy_summary, gt_corner_boxes,
+    multi_accuracy_table, pose_metrics, truths_length)
+from singleshotpose_tpu.utils.geometry import get_camera_intrinsic
+
+
+def _random_pose(rng, depth=0.6):
+    w = rng.randn(3) * 0.5
+    th = np.linalg.norm(w)
+    K_ = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]])
+    R = np.eye(3) + np.sin(th) / th * K_ + (1 - np.cos(th)) / th ** 2 * K_ @ K_
+    t = np.array([rng.uniform(-0.1, 0.1), rng.uniform(-0.1, 0.1),
+                  depth + rng.uniform(0, 0.3)])
+    return R.astype(np.float32), t.astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    rng = np.random.RandomState(0)
+    # box-corner cloud ~8 cm object + centroid
+    corners = np.array([[sx * 0.04, sy * 0.03, sz * 0.05]
+                        for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+                       np.float32)
+    pts3d = np.concatenate([np.zeros((1, 3), np.float32), corners])
+    verts = rng.uniform(-1, 1, (200, 3)).astype(np.float32) * \
+        np.array([0.04, 0.03, 0.05], np.float32)
+    vertices = np.concatenate([verts, np.ones((200, 1), np.float32)], 1).T
+    K = get_camera_intrinsic(325.2611, 242.0489, 572.4114, 573.5704)
+    diam = 2 * np.linalg.norm([0.04, 0.03, 0.05])
+    return EvalContext(pts3d, vertices.astype(np.float32),
+                       K.astype(np.float32), float(diam), 640, 480)
+
+
+def _project(pts3d, R, t, K):
+    cam = pts3d @ R.T + t
+    pix = cam @ K.T
+    return (pix[:, :2] / pix[:, 2:3]).astype(np.float32)
+
+
+def test_identical_poses_zero_error(ctx):
+    rng = np.random.RandomState(1)
+    B = 4
+    gt = []
+    for _ in range(B):
+        R, t = _random_pose(rng)
+        gt.append(_project(ctx.points_3d, R, t, ctx.intrinsics))
+    gt = np.stack(gt)
+    m = pose_metrics(gt, gt.copy(), ctx)
+    assert np.all(m["err_2d"] < 0.1)
+    assert np.all(m["err_3d"] < 1e-3)
+    assert np.all(m["err_trans"] < 1e-3)
+    assert np.all(m["err_angle"] < 0.5)
+    assert np.all(m["err_corner2d"] == 0)
+
+
+def test_perturbed_pose_errors_scale(ctx):
+    rng = np.random.RandomState(2)
+    R, t = _random_pose(rng)
+    gt = _project(ctx.points_3d, R, t, ctx.intrinsics)[None]
+    pr = gt + 12.0  # constant 12px shift on every keypoint
+    m = pose_metrics(gt, pr, ctx)
+    assert np.isclose(m["err_corner2d"][0], 12.0 * np.sqrt(2), rtol=1e-4)
+    assert m["err_2d"][0] > 5.0          # well past the 5px threshold
+    assert m["err_trans"][0] > 0.005
+
+    errs = PoseErrors()
+    errs.extend(pose_metrics(gt, gt.copy(), ctx))
+    errs.extend(m)
+    s = accuracy_summary(errs, ctx.diam)
+    assert s["n_samples"] == 2
+    assert 49.0 < s["acc_2d_proj"] < 51.0     # 1 of 2 within 5 px
+    assert 49.0 < s["acc_corner_2d"] < 51.0
+
+
+def test_truths_length_and_gt_boxes():
+    K = 9
+    row = np.zeros(50 * 21, np.float32)
+    t = row.reshape(50, 21)
+    t[0, 1:19] = 0.5
+    t[1, 1:19] = 0.25
+    assert truths_length(row) == 2
+    boxes = gt_corner_boxes(row)
+    assert boxes.shape == (2, 18)
+    assert np.all(boxes[0] == 0.5)
+
+
+def test_multi_accuracy_table():
+    tab = multi_accuracy_table([3.0, 7.0, 12.0, 60.0])
+    assert 74.9 < tab[15] < 75.1
+    assert 24.9 < tab[5] < 25.1
+    assert tab[50] < 75.1
+    assert list(tab.keys()) == list(range(5, 55, 5))
