@@ -1,0 +1,119 @@
+"""Command-line entry points mirroring the reference drivers.
+
+  python -m singleshotpose_tpu.cli train       --datacfg --modelcfg --initweightfile --pretrain_num_epochs
+  python -m singleshotpose_tpu.cli valid       --datacfg --modelcfg --weightfile
+  python -m singleshotpose_tpu.cli valid-multi --modelcfg --weightfile [--datacfgs ...]
+  python -m singleshotpose_tpu.cli print-cfg   <cfgfile>
+
+Flags match ``train.py:276-281``, ``valid.py:238-242``,
+``valid_multi.py:160-177``, and ``python cfg.py <cfg>`` (``cfg.py:203-208``).
+``--modelcfg`` also accepts zoo names (``yolo-pose``, ``yolo-pose-multi``,
+``yolo-pose-pre``) so no cfg artifacts are required.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import Optional, Sequence
+
+
+def _resolve_model(modelcfg: str):
+    from . import zoo
+    builders = {"yolo-pose": zoo.yolo_pose_single,
+                "yolo-pose-multi": zoo.yolo_pose_multi,
+                "yolo-pose-pre": zoo.yolo_pose_pretrain}
+    if modelcfg in builders:
+        return builders[modelcfg]()
+    return modelcfg
+
+
+def cmd_train(argv: Sequence[str]) -> int:
+    p = argparse.ArgumentParser(prog="ssp train",
+                                description="SingleShotPose (TPU)")
+    p.add_argument("--datacfg", type=str, default="cfg/ape.data")
+    p.add_argument("--modelcfg", type=str, default="cfg/yolo-pose.cfg")
+    p.add_argument("--initweightfile", type=str,
+                   default="cfg/darknet19_448.conv.23")
+    p.add_argument("--pretrain_num_epochs", type=int, default=15)
+    p.add_argument("--max_epochs", type=int, default=None,
+                   help="override [net] max_epochs")
+    p.add_argument("--bg_dir", type=str,
+                   default="VOCdevkit/VOC2012/JPEGImages")
+    args = p.parse_args(argv)
+
+    from .drivers import TrainRunConfig, run_training
+    rc = TrainRunConfig(bg_dir=args.bg_dir,
+                        max_epochs_override=args.max_epochs)
+    result = run_training(args.datacfg, _resolve_model(args.modelcfg),
+                          args.initweightfile or None,
+                          args.pretrain_num_epochs, rc)
+    print(f"best accuracy: {result['best_acc']}")
+    return 0
+
+
+def cmd_valid(argv: Sequence[str]) -> int:
+    p = argparse.ArgumentParser(prog="ssp valid")
+    p.add_argument("--datacfg", type=str, default="cfg/ape.data")
+    p.add_argument("--modelcfg", type=str, default="cfg/yolo-pose.cfg")
+    p.add_argument("--weightfile", type=str,
+                   default="backup/ape/model_backup.weights")
+    args = p.parse_args(argv)
+
+    from .drivers import run_validation
+    run_validation(args.datacfg, _resolve_model(args.modelcfg),
+                   args.weightfile)
+    return 0
+
+
+def cmd_valid_multi(argv: Sequence[str]) -> int:
+    p = argparse.ArgumentParser(prog="ssp valid-multi")
+    p.add_argument("--modelcfg", type=str, default="cfg/yolo-pose-multi.cfg")
+    p.add_argument("--weightfile", type=str,
+                   default="backup_multi/model_backup.weights")
+    p.add_argument("--datacfgs", type=str, nargs="*", default=None,
+                   help="per-object occlusion .data files; default: the "
+                        "reference's 6-object sweep under cfg/")
+    args = p.parse_args(argv)
+
+    from .drivers import OCCLUSION_EVAL_OBJECTS, run_validation_multi
+    datacfgs = args.datacfgs or [
+        f"cfg/{obj}_occlusion.data" for obj in OCCLUSION_EVAL_OBJECTS]
+    spec = _resolve_model(args.modelcfg)
+    for i, dc in enumerate(datacfgs):
+        run_validation_multi(dc, spec, args.weightfile, class_id=None)
+    return 0
+
+
+def cmd_print_cfg(argv: Sequence[str]) -> int:
+    from .config import parse_cfg, print_cfg
+    if not argv:
+        print("usage: ssp print-cfg <cfgfile>", file=sys.stderr)
+        return 2
+    print_cfg(parse_cfg(argv[0]))
+    return 0
+
+
+COMMANDS = {
+    "train": cmd_train,
+    "valid": cmd_valid,
+    "valid-multi": cmd_valid_multi,
+    "print-cfg": cmd_print_cfg,
+}
+
+
+def main(argv: Optional[Sequence[str]] = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help"):
+        print(__doc__)
+        return 0 if argv else 2
+    cmd = COMMANDS.get(argv[0])
+    if cmd is None:
+        print(f"unknown command {argv[0]!r}; "
+              f"choose from {sorted(COMMANDS)}", file=sys.stderr)
+        return 2
+    return cmd(argv[1:])
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

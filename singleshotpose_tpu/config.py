@@ -243,8 +243,8 @@ def format_cfg_table(blocks: Sequence[Dict[str, str]]) -> str:
         ind += 1
         btype = block["type"]
         if btype == "net":
-            prev_width = int(block["width"])
-            prev_height = int(block["height"])
+            prev_width = int(block.get("width", 416))
+            prev_height = int(block.get("height", 416))
             continue
         if btype == "convolutional":
             filters = int(block["filters"])
