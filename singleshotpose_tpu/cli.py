@@ -52,6 +52,38 @@ def cmd_train(argv: Sequence[str]) -> int:
     return 0
 
 
+def cmd_train_multi(argv: Sequence[str]) -> int:
+    p = argparse.ArgumentParser(prog="ssp train-multi",
+                                description="SingleShotPose multi-object (TPU)")
+    p.add_argument("--datacfg", type=str, default="cfg/occlusion.data")
+    p.add_argument("--modelcfg", type=str, default="cfg/yolo-pose-multi.cfg")
+    p.add_argument("--initweightfile", type=str,
+                   default="backup_multi/init.weights")
+    p.add_argument("--pretrain_num_epochs", type=int, default=0)
+    p.add_argument("--max_epochs", type=int, default=None)
+    p.add_argument("--bg_dir", type=str,
+                   default="VOCdevkit/VOC2012/JPEGImages")
+    p.add_argument("--linemod_root", type=str, default=None)
+    p.add_argument("--eval_datacfgs", type=str, nargs="*", default=None)
+    args = p.parse_args(argv)
+
+    from .drivers import TrainRunConfig, run_training_multi
+    rc = TrainRunConfig(eval_every=20, eval_after=-1, bg_dir=args.bg_dir,
+                        max_epochs_override=args.max_epochs)
+    eval_dcs = args.eval_datacfgs
+    if eval_dcs is None:
+        # reference sweep: train_multi.py:277-297
+        eval_dcs = [f"cfg/{o}_occlusion.data"
+                    for o in ("ape", "can", "cat", "duck", "driller", "glue")]
+        eval_dcs = [dc for dc in eval_dcs if __import__("os").path.exists(dc)]
+    result = run_training_multi(args.datacfg, _resolve_model(args.modelcfg),
+                                args.initweightfile or None,
+                                args.pretrain_num_epochs, eval_dcs,
+                                args.linemod_root, rc)
+    print(f"best accuracy: {result['best_acc']}")
+    return 0
+
+
 def cmd_valid(argv: Sequence[str]) -> int:
     p = argparse.ArgumentParser(prog="ssp valid")
     p.add_argument("--datacfg", type=str, default="cfg/ape.data")
@@ -96,6 +128,7 @@ def cmd_print_cfg(argv: Sequence[str]) -> int:
 
 COMMANDS = {
     "train": cmd_train,
+    "train-multi": cmd_train_multi,
     "valid": cmd_valid,
     "valid-multi": cmd_valid_multi,
     "print-cfg": cmd_print_cfg,

@@ -166,13 +166,16 @@ def data_augmentation(rng: np.random.RandomState, img: np.ndarray,
 
 def transform_truths(truths: np.ndarray, dx: float, dy: float, sx: float,
                      sy: float, num_keypoints: int = 9,
-                     max_num_gt: int = 50) -> np.ndarray:
+                     max_num_gt: int = 50,
+                     recompute_extents: bool = False) -> np.ndarray:
     """Apply the crop transform to label rows and pad to the 50-slot tensor.
 
     Vectorized ``fill_truth_detection`` (``image.py:76-108``): every keypoint
     maps ``x' = x·sx − dx`` (the caller passes the *reciprocal* crop scale as
     ``sx``); only the centroid (keypoint 0) is clamped to [0, 0.999].
-    Returns the flat (max_num_gt·(2K+3),) float array.
+    ``recompute_extents=True`` additionally rewrites the trailing x/y-range
+    fields as max−min of the transformed keypoints (the multi-object variant,
+    ``image_multi.py:152-157``).  Returns the flat (max_num_gt·(2K+3),) array.
     """
     K = num_keypoints
     nl = 2 * K + 3
@@ -185,5 +188,8 @@ def transform_truths(truths: np.ndarray, dx: float, dy: float, sx: float,
         ys[:, 0] = np.clip(ys[:, 0], 0.0, 0.999)
         bs[:, 1:2 * K + 1:2] = xs
         bs[:, 2:2 * K + 1:2] = ys
+        if recompute_extents:
+            bs[:, nl - 2] = xs.max(1) - xs.min(1)
+            bs[:, nl - 1] = ys.max(1) - ys.min(1)
         label[:bs.shape[0]] = bs
     return label.reshape(-1)

@@ -35,7 +35,8 @@ from .training import (TrainState, init_train_state, make_train_step,
 from .utils.labels import get_all_files
 
 __all__ = ["load_spec", "loss_config_from_spec", "run_validation",
-           "run_validation_multi", "run_training", "TrainRunConfig"]
+           "run_validation_multi", "run_training", "run_training_multi",
+           "TrainRunConfig"]
 
 
 def _log(msg: str) -> None:
@@ -187,8 +188,8 @@ def run_validation_multi(datacfg: str, modelcfg: Union[str, DarknetSpec],
     if conf_thresh is None:
         conf_thresh = spec.net.conf_thresh
     name = objclass or dcfg.name
-    if class_id is None:
-        class_id = int(options.get("class_id", 0))
+    if class_id is None and "class_id" in options:
+        class_id = int(options["class_id"])
 
     ctx = EvalContext.from_data_config(dcfg)
 
@@ -207,8 +208,15 @@ def run_validation_multi(datacfg: str, modelcfg: Union[str, DarknetSpec],
                                  spec.net.test_height or 416),
                     num_workers=num_workers, drop_last=False)
 
+    nl = 2 * spec.num_keypoints + 3
+
     def pick(decoded, labels):
-        return best_box_for_class(decoded, class_id, conf_thresh)
+        # class of interest = each image's first GT class (the reference
+        # passes int(target[0][0]) as correspondingclass, train_multi.py:193)
+        cls = labels.reshape(labels.shape[0], -1, nl)[:, 0, 0].astype(np.int32)
+        if class_id is not None:
+            cls = np.full_like(cls, class_id)
+        return best_box_for_class(decoded, jnp.asarray(cls), conf_thresh)
 
     if verbose:
         _log(f"   Testing {name}...")
@@ -339,6 +347,118 @@ def run_training(datacfg: str, modelcfg: Union[str, DarknetSpec],
                 best_acc = acc
                 _log("best model so far!")
                 _log(f"save weights to {backupdir}/model.weights")
+                W.save_weights(spec, jax.device_get(state.params),
+                               jax.device_get(state.batch_stats),
+                               os.path.join(backupdir, "model.weights"),
+                               seen=int(jax.device_get(state.seen)))
+    return {"state": state, "best_acc": best_acc, "history": history}
+
+
+def run_training_multi(datacfg: str, modelcfg: Union[str, DarknetSpec],
+                       initweightfile: Optional[str] = None,
+                       pretrain_num_epochs: int = 0,
+                       eval_datacfgs: Optional[Sequence[str]] = None,
+                       linemod_root: Optional[str] = None,
+                       run_cfg: Optional[TrainRunConfig] = None
+                       ) -> Dict[str, object]:
+    """Multi-object OCCLUSION training (reference ``train_multi.py`` main).
+
+    Deltas vs :func:`run_training` mirror the reference's: scene-synthesis
+    augmentation over LINEMOD singles, milder multi-scale schedule, CE class
+    loss via the spec's 13-class region block, eval every 20 epochs over the
+    per-object occlusion datacfgs, best checkpoint on the mean of the last
+    sweep's accuracies (the reference records each object's acc@50px,
+    ``train_multi.py:277`` + ``417-421``).
+    """
+    from .data.synth_multi import MultiObjectSynthesizer, SynthConfig
+
+    rc = run_cfg or TrainRunConfig(eval_every=20, eval_after=-1)
+    dcfg = data_config_from_options(read_data_cfg(datacfg))
+    spec = load_spec(modelcfg)
+    net = spec.net
+
+    batch_size = net.batch
+    with open(dcfg.train) as f:
+        train_lines = [ln.strip() for ln in f if ln.strip()]
+    nsamples = len(train_lines)
+    nbatches = nsamples / batch_size
+    steps = [s * nbatches for s in net.steps]
+    scales = list(net.scales)
+    max_epochs = rc.max_epochs_override or net.max_epochs
+    backupdir = dcfg.backup or "backup_multi"
+    os.makedirs(backupdir, exist_ok=True)
+
+    if initweightfile:
+        _, params, batch_stats = W.load_weights_until_last(spec, initweightfile)
+    else:
+        params, batch_stats = spec.init_params(jax.random.PRNGKey(rc.seed))
+    params = jax.tree.map(jnp.asarray, params)
+    batch_stats = jax.tree.map(jnp.asarray, batch_stats)
+    state = init_train_state(params, batch_stats)
+    processed_batches = 0
+
+    loss_cfg = loss_config_from_spec(
+        spec, pretrain_num_epochs=pretrain_num_epochs,
+        im_width=dcfg.width, im_height=dcfg.height, multi=True)
+    step = make_train_step(spec, loss_cfg,
+                           weight_decay=net.decay * batch_size,
+                           momentum=net.momentum,
+                           compute_dtype=rc.compute_dtype)
+
+    if linemod_root is None:
+        # reference hard-codes '../LINEMOD/<obj>/train.txt' relative to the
+        # multi dir (image_multi.py:320); infer from the train list paths.
+        linemod_root = os.path.dirname(os.path.dirname(
+            os.path.dirname(train_lines[0])))
+    synth = MultiObjectSynthesizer(SynthConfig(
+        linemod_root=linemod_root, num_keypoints=spec.num_keypoints))
+    bg_files = get_all_files(rc.bg_dir) if os.path.isdir(rc.bg_dir) else []
+    ds = PoseDataset(dcfg.train, train=True, bg_file_names=bg_files,
+                     aug=AugmentConfig.multi(),
+                     num_keypoints=spec.num_keypoints, synthesizer=synth)
+    loader = Loader(ds, batch_size, schedule=MULTI_SCHEDULE,
+                    num_workers=rc.num_workers, seed=rc.seed)
+
+    history: Dict[str, List] = {"training_iters": [], "training_losses": [],
+                                "testing_iters": [], "testing_accuracies": []}
+    best_acc = -float("inf")
+
+    for epoch in range(max_epochs):
+        lr = schedule_lr(net.learning_rate, processed_batches, steps, scales)
+        _log(f"[multi] epoch {epoch}, lr {lr:f}")
+        pending = []
+        for bidx, (images, labels) in enumerate(loader):
+            lr = schedule_lr(net.learning_rate, processed_batches, steps,
+                             scales)
+            state, stats = step(state, jnp.asarray(images),
+                                jnp.asarray(labels),
+                                np.float32(lr / batch_size), np.int32(epoch))
+            pending.append((epoch * int(np.ceil(nbatches)) + bidx, stats))
+            processed_batches += 1
+            if len(pending) >= rc.log_every:
+                _drain_stats(pending, history, epoch)
+                pending = []
+        _drain_stats(pending, history, epoch)
+
+        if eval_datacfgs and (epoch % rc.eval_every == 0) \
+                and (epoch > rc.eval_after):
+            accs = []
+            for dc in eval_datacfgs:
+                res = run_validation_multi(
+                    dc, spec, params=state.params,
+                    batch_stats=state.batch_stats,
+                    batch_size=rc.eval_batch_size,
+                    num_workers=rc.num_workers,
+                    compute_dtype=rc.compute_dtype)
+                accs.append(res["acc_table"][50])   # reference records acc@50
+            mean_acc = float(np.mean(accs)) if accs else float("nan")
+            history["testing_iters"].append(processed_batches)
+            history["testing_accuracies"].append(mean_acc)
+            np.savez(os.path.join(backupdir, "costs.npz"),
+                     **{k: np.asarray(v) for k, v in history.items()})
+            if mean_acc > best_acc:
+                best_acc = mean_acc
+                _log("[multi] best model so far!")
                 W.save_weights(spec, jax.device_get(state.params),
                                jax.device_get(state.batch_stats),
                                os.path.join(backupdir, "model.weights"),
