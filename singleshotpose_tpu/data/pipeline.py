@@ -145,18 +145,60 @@ class PoseDataset:
             return read_truths_args(labpath, self.num_keypoints)
         return np.zeros((0,), np.float32)
 
+    def get_test_label(self, index: int) -> np.ndarray:
+        """Flat padded label tensor for the test path (reference packing:
+        truncated 19-field rows laid contiguously, ``dataset.py:121-127``)."""
+        truths = self._read_truths_test(self.lines[index])
+        label = np.zeros((self.max_num_gt * (2 * self.num_keypoints + 3),),
+                         np.float32)
+        flat = truths.reshape(-1)[:label.size]
+        label[:flat.size] = flat
+        return label
+
     def get_test(self, index: int, shape: Tuple[int, int]):
         """(img f32 HWC in [0,1], flat padded label) at fixed test shape."""
         imgpath = self.lines[index]
         img = load_image(imgpath)
         w, h = shape
         img = augment.resize_nearest(img, w, h)
-        truths = self._read_truths_test(imgpath)
-        label = np.zeros((self.max_num_gt * (2 * self.num_keypoints + 3),),
-                         np.float32)
-        flat = truths.reshape(-1)[:label.size]
-        label[:flat.size] = flat
-        return img.astype(np.float32) / 255.0, label
+        return img.astype(np.float32) / 255.0, self.get_test_label(index)
+
+    def plan_train_sample(self, index: int, rng: np.random.RandomState):
+        """Draw augmentation parameters for the native fused path.
+
+        Consumes the SAME rng stream in the SAME order as :meth:`get_train`
+        (bg pick → crop jitter → flip → HSV), so the two backends are
+        parameter-identical given equal seeds.  Returns
+        (imgpath, maskpath|None, bgpath|None, crop(pleft,ptop,cw,ch),
+        hsv(dhue,dsat,dexp), flat label).
+        """
+        from PIL import Image
+        imgpath = self.lines[index]
+        with Image.open(imgpath) as im:
+            ow, oh = im.size
+        bgpath = None
+        if self.bg_file_names:
+            bgpath = self.bg_file_names[rng.randint(len(self.bg_file_names))]
+        dw, dh = int(ow * self.aug.jitter), int(oh * self.aug.jitter)
+        pleft = rng.randint(-dw, dw + 1)
+        pright = rng.randint(-dw, dw + 1)
+        ptop = rng.randint(-dh, dh + 1)
+        pbot = rng.randint(-dh, dh + 1)
+        swidth = ow - pleft - pright
+        sheight = oh - ptop - pbot
+        sx, sy = swidth / ow, sheight / oh
+        _flip = bool(rng.randint(2))     # drawn, never applied (parity)
+        dhue = rng.uniform(-self.aug.hue, self.aug.hue)
+        dsat = augment.rand_scale(rng, self.aug.saturation)
+        dexp = augment.rand_scale(rng, self.aug.exposure)
+        dx = (pleft / ow) / sx
+        dy = (ptop / oh) / sy
+        label = augment.transform_truths(
+            self._read_truths_full(imgpath), dx, dy, 1.0 / sx, 1.0 / sy,
+            self.num_keypoints, self.max_num_gt)
+        mask = mask_path_from_image(imgpath) if bgpath else None
+        return (imgpath, mask, bgpath, (pleft, ptop, swidth, sheight),
+                (dhue, dsat, dexp), label)
 
     def get_train(self, index: int, shape: Tuple[int, int],
                   rng: np.random.RandomState):
@@ -197,7 +239,7 @@ class Loader:
                  schedule: Optional[MultiScaleSchedule] = SINGLE_SCHEDULE,
                  fixed_shape: Optional[Tuple[int, int]] = None,
                  num_workers: int = 8, seed: int = 0,
-                 drop_last: bool = True):
+                 drop_last: bool = True, backend: str = "auto"):
         self.ds = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -208,6 +250,19 @@ class Loader:
         self.pool = ThreadPoolExecutor(max_workers=num_workers) \
             if num_workers > 0 else None
         self.drop_last = drop_last
+        # native C++ fused decode/augment (singleshotpose_tpu/native); only
+        # the non-synthesized paths have a native kernel
+        self._native = None
+        if backend in ("auto", "native") and dataset.synthesizer is None:
+            try:
+                from ..native import NativeLoader
+                self._native = NativeLoader(nthreads=max(num_workers, 0))
+            except (RuntimeError, OSError, ImportError):
+                if backend == "native":
+                    raise
+        elif backend == "native" and dataset.synthesizer is not None:
+            raise ValueError("native backend does not cover the "
+                             "scene-synthesis path")
 
     @property
     def nbatches(self) -> int:
@@ -229,6 +284,10 @@ class Loader:
             idxs = order[start:start + self.batch_size]
             shape = self._batch_shape()
 
+            if self._native is not None:
+                yield self._native_batch(idxs, shape)
+                continue
+
             if self.ds.train:
                 seeds = self.rng.randint(0, 2 ** 31 - 1, size=len(idxs))
                 def one(args):
@@ -249,3 +308,25 @@ class Loader:
             labels = np.stack([r[1] for r in results])
             self.seen += len(idxs)
             yield imgs, labels
+
+    def _native_batch(self, idxs, shape):
+        """One batch through the C++ fused decode/augment thread pool."""
+        w, h = shape
+        if self.ds.train:
+            seeds = self.rng.randint(0, 2 ** 31 - 1, size=len(idxs))
+            plans = [self.ds.plan_train_sample(int(i),
+                                               np.random.RandomState(int(s)))
+                     for i, s in zip(idxs, seeds)]
+            imgs = self._native.train_batch(
+                [p[0] for p in plans], [p[1] for p in plans],
+                [p[2] for p in plans],
+                np.array([p[3] for p in plans], np.int32),
+                np.array([p[4] for p in plans], np.float32), w, h)
+            labels = np.stack([p[5] for p in plans])
+        else:
+            paths = [self.ds.lines[int(i)] for i in idxs]
+            imgs = self._native.test_batch(paths, w, h)
+            labels = np.stack([self.ds.get_test_label(int(i))
+                               for i in idxs])
+        self.seen += len(idxs)
+        return imgs, labels
