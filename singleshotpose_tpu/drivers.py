@@ -251,6 +251,13 @@ class TrainRunConfig:
     seed: int = 0
     max_epochs_override: Optional[int] = None
     log_every: int = 20            # batches
+    # beyond-reference capability:
+    mesh: Optional[object] = None  # jax.sharding.Mesh → sharded DP training
+    orbax_dir: Optional[str] = None    # enable Orbax full-state checkpoints
+    orbax_every_epochs: int = 10
+    resume: bool = False               # restore latest Orbax state
+    profile_dir: Optional[str] = None  # jax.profiler trace of a few steps
+    profile_steps: Tuple[int, int] = (5, 10)
 
 
 def run_training(datacfg: str, modelcfg: Union[str, DarknetSpec],
@@ -278,19 +285,40 @@ def run_training(datacfg: str, modelcfg: Union[str, DarknetSpec],
     os.makedirs(backupdir, exist_ok=True)
 
     # model init / resume
-    if initweightfile:
+    ckpt = None
+    if rc.orbax_dir:
+        from .checkpoint import OrbaxCheckpointer
+        ckpt = OrbaxCheckpointer(rc.orbax_dir)
+    state = None
+    if rc.resume and ckpt is not None and ckpt.latest_step() is not None:
+        state, _step = ckpt.restore()
+        seen0 = int(jax.device_get(state.seen))
+        _log(f"resumed from {rc.orbax_dir} at seen={seen0}")
+    elif initweightfile:
         header, params, batch_stats = W.load_weights_until_last(
             spec, initweightfile)
         seen0 = 0  # reference resets model.seen = 0 after backbone load
     else:
         params, batch_stats = spec.init_params(jax.random.PRNGKey(rc.seed))
         seen0 = 0
-    params = jax.tree.map(jnp.asarray, params)
-    batch_stats = jax.tree.map(jnp.asarray, batch_stats)
-    state = init_train_state(params, batch_stats)
-    state = state._replace(seen=jnp.asarray(seen0, jnp.int32))
+    if state is None:
+        params = jax.tree.map(jnp.asarray, params)
+        batch_stats = jax.tree.map(jnp.asarray, batch_stats)
+        state = init_train_state(params, batch_stats)
+        state = state._replace(seen=jnp.asarray(seen0, jnp.int32))
     processed_batches = seen0 // batch_size
     init_epoch = seen0 // max(nsamples, 1)
+
+    if rc.mesh is not None:
+        from .parallel.sharding import (batch_stats_shardings,
+                                        param_shardings)
+        ps = param_shardings(spec, rc.mesh)
+        bs_sh = batch_stats_shardings(spec, rc.mesh)
+        state = TrainState(
+            jax.tree.map(jax.device_put, state.params, ps),
+            jax.tree.map(jax.device_put, state.batch_stats, bs_sh),
+            jax.tree.map(jax.device_put, state.momentum, ps),
+            state.seen)
 
     loss_cfg = loss_config_from_spec(
         spec, pretrain_num_epochs=pretrain_num_epochs,
@@ -319,16 +347,29 @@ def run_training(datacfg: str, modelcfg: Union[str, DarknetSpec],
         for bidx, (images, labels) in enumerate(loader):
             lr = schedule_lr(net.learning_rate, processed_batches, steps,
                              scales)
-            state, stats = step(state, jnp.asarray(images),
-                                jnp.asarray(labels),
+            if rc.profile_dir and processed_batches == rc.profile_steps[0]:
+                jax.profiler.start_trace(rc.profile_dir)
+            if rc.mesh is not None:
+                from .parallel.sharding import shard_host_batch
+                images, labels = shard_host_batch(rc.mesh, images, labels)
+            else:
+                images, labels = jnp.asarray(images), jnp.asarray(labels)
+            state, stats = step(state, images, labels,
                                 np.float32(lr / batch_size),
                                 np.int32(epoch))
             pending.append((epoch * int(np.ceil(nbatches)) + bidx, stats))
             processed_batches += 1
+            if rc.profile_dir and processed_batches == rc.profile_steps[1]:
+                jax.block_until_ready(stats["loss"])
+                jax.profiler.stop_trace()
             if len(pending) >= rc.log_every:
                 _drain_stats(pending, history, epoch)
                 pending = []
         _drain_stats(pending, history, epoch)
+
+        if ckpt is not None and rc.orbax_every_epochs and \
+                epoch % rc.orbax_every_epochs == 0:
+            ckpt.save(processed_batches, state)
 
         if (epoch % rc.eval_every == 0) and (epoch > rc.eval_after):
             summary = run_validation(
@@ -351,6 +392,9 @@ def run_training(datacfg: str, modelcfg: Union[str, DarknetSpec],
                                jax.device_get(state.batch_stats),
                                os.path.join(backupdir, "model.weights"),
                                seen=int(jax.device_get(state.seen)))
+    if ckpt is not None:
+        ckpt.save(processed_batches, state, wait=True)
+        ckpt.close()
     return {"state": state, "best_acc": best_acc, "history": history}
 
 

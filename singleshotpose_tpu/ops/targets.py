@@ -72,7 +72,8 @@ def build_targets(pred_corners: jax.Array, target: jax.Array, *,
                   sil_thresh: float,
                   anchors: Tuple[float, ...] = (),
                   im_width: float = 640.0, im_height: float = 480.0,
-                  max_num_gt: int = 50) -> BuiltTargets:
+                  max_num_gt: int = 50,
+                  use_pallas: Optional[bool] = None) -> BuiltTargets:
     """Args:
       pred_corners: (B, S, 2K) normalized predicted keypoints (detached),
         S = nA*nH*nW anchor-major.
@@ -92,11 +93,21 @@ def build_targets(pred_corners: jax.Array, target: jax.Array, *,
     gt_corners = t[:, :, 1:2 * K + 1]                                      # (B,50,2K)
 
     # ---- pass 1: silence cells whose predictions already match some GT ----
-    confs = corner_confidences(gt_corners[:, :, None, :],
-                               pred_corners[:, None, :, :],
-                               im_width=im_width, im_height=im_height)     # (B,50,S)
-    confs = jnp.where(valid[:, :, None], confs, 0.0)
-    cur_confs = jnp.max(confs, axis=1)                                     # (B,S)
+    if use_pallas is None:
+        from .pallas_kernels import pallas_supported
+        use_pallas = pallas_supported()
+    if use_pallas:
+        # fused VMEM reduction, no (B,50,S) intermediate in HBM
+        from .pallas_kernels import max_corner_confidence
+        cur_confs = max_corner_confidence(
+            gt_corners, valid, pred_corners,
+            im_width=im_width, im_height=im_height)                        # (B,S)
+    else:
+        confs = corner_confidences(gt_corners[:, :, None, :],
+                                   pred_corners[:, None, :, :],
+                                   im_width=im_width, im_height=im_height)  # (B,50,S)
+        confs = jnp.where(valid[:, :, None], confs, 0.0)
+        cur_confs = jnp.max(confs, axis=1)                                 # (B,S)
     conf_mask0 = jnp.where(cur_confs > sil_thresh, 0.0, noobject_scale)
 
     # ---- anchor choice per GT ----
