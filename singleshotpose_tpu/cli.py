@@ -90,11 +90,13 @@ def cmd_valid(argv: Sequence[str]) -> int:
     p.add_argument("--modelcfg", type=str, default="cfg/yolo-pose.cfg")
     p.add_argument("--weightfile", type=str,
                    default="backup/ape/model_backup.weights")
+    p.add_argument("--save", action="store_true",
+                   help="dump per-frame R/t/corners + predictions .mat")
     args = p.parse_args(argv)
 
     from .drivers import run_validation
     run_validation(args.datacfg, _resolve_model(args.modelcfg),
-                   args.weightfile)
+                   args.weightfile, save=args.save)
     return 0
 
 

@@ -215,6 +215,10 @@ def data_config_from_options(options: Dict[str, str]) -> DataConfig:
             kw[key] = float(value)
         elif key in ("num_workers", "width", "height"):
             kw[key] = int(value)
+        elif key in ("im_width", "im_height"):
+            # multi-object .data files name these im_width/im_height
+            # (e.g. ape_occlusion.data:7-8 vs ape.data's width/height)
+            kw[key.replace("im_", "")] = int(value)
         elif key in ("fx", "fy", "u0", "v0"):
             kw[key] = float(value)
         else:

@@ -105,12 +105,13 @@ def _eval_pass(spec: DarknetSpec, params, batch_stats, loader: Loader,
 
     errors = PoseErrors()
     if not all_gt:
-        return errors
+        return errors, {}
     scale = np.array([ctx.im_width, ctx.im_height], np.float32)
     gt = np.stack(all_gt) * scale
     pr = np.stack(all_pr) * scale
-    errors.extend(pose_metrics(gt, pr, ctx, fix_gt_corners=fix_gt_corners))
-    return errors
+    metrics = pose_metrics(gt, pr, ctx, fix_gt_corners=fix_gt_corners)
+    errors.extend(metrics)
+    return errors, {"corners_gt": gt, "corners_pr": pr, "metrics": metrics}
 
 
 def run_validation(datacfg: str, modelcfg: Union[str, DarknetSpec],
@@ -118,11 +119,14 @@ def run_validation(datacfg: str, modelcfg: Union[str, DarknetSpec],
                    params=None, batch_stats=None,
                    batch_size: int = 16, num_workers: int = 8,
                    compute_dtype=jnp.bfloat16,
+                   save: bool = False,
                    verbose: bool = True) -> Dict[str, float]:
     """Single-object eval (reference ``valid.py``): full 6D metric suite.
 
     Either ``weightfile`` (darknet binary) or (``params``, ``batch_stats``)
-    must be given.
+    must be given.  ``save=True`` dumps per-frame R/t/corner files under
+    ``<backup>/test/{gt,pr}/`` and a consolidated predictions ``.mat``
+    (reference: ``valid.py:186-197,231-233``).
     """
     dcfg = data_config_from_options(read_data_cfg(datacfg))
     spec = load_spec(modelcfg)
@@ -143,10 +147,12 @@ def run_validation(datacfg: str, modelcfg: Union[str, DarknetSpec],
     if verbose:
         _log(f"   Testing {dcfg.name}...")
         _log(f"   Number of test samples: {len(ds)}")
-    errors = _eval_pass(spec, params, batch_stats, loader, ctx,
-                        batched_pick=pick, num_keypoints=spec.num_keypoints,
-                        compute_dtype=compute_dtype)
+    errors, artifacts = _eval_pass(
+        spec, params, batch_stats, loader, ctx, batched_pick=pick,
+        num_keypoints=spec.num_keypoints, compute_dtype=compute_dtype)
     summary = accuracy_summary(errors, ctx.diam)
+    if save and artifacts:
+        _save_predictions(dcfg, ds, artifacts)
     if verbose:
         _log(f"Results of {dcfg.name}")
         _log("   Acc using 5 px 2D Projection = "
@@ -161,6 +167,39 @@ def run_validation(datacfg: str, modelcfg: Union[str, DarknetSpec],
         _log(f"   Translation error: {summary['mean_err_trans']:f} m, "
              f"angle error: {summary['mean_err_angle']:f} degree")
     return summary
+
+
+def _save_predictions(dcfg: DataConfig, ds: PoseDataset, artifacts) -> None:
+    """Per-frame R/t/corner dumps + consolidated ``.mat``
+    (reference: ``valid.py:186-197,231-233``)."""
+    backup = dcfg.backup or "backup"
+    m = artifacts["metrics"]
+    gt_dir = os.path.join(backup, "test", "gt")
+    pr_dir = os.path.join(backup, "test", "pr")
+    os.makedirs(gt_dir, exist_ok=True)
+    os.makedirs(pr_dir, exist_ok=True)
+    n = artifacts["corners_gt"].shape[0]
+    for i in range(n):
+        stem = os.path.splitext(os.path.basename(
+            ds.lines[i] if i < len(ds.lines) else f"{i:06d}"))[0]
+        np.savetxt(os.path.join(gt_dir, f"R_{stem}.txt"), m["R_gt"][i])
+        np.savetxt(os.path.join(gt_dir, f"t_{stem}.txt"), m["t_gt"][i])
+        np.savetxt(os.path.join(gt_dir, f"corners_{stem}.txt"),
+                   artifacts["corners_gt"][i])
+        np.savetxt(os.path.join(pr_dir, f"R_{stem}.txt"), m["R_pr"][i])
+        np.savetxt(os.path.join(pr_dir, f"t_{stem}.txt"), m["t_pr"][i])
+        np.savetxt(os.path.join(pr_dir, f"corners_{stem}.txt"),
+                   artifacts["corners_pr"][i])
+    try:
+        import scipy.io
+        scipy.io.savemat(
+            os.path.join(backup, f"predictions_linemod_{dcfg.name}.mat"),
+            {"R_gts": m["R_gt"], "t_gts": m["t_gt"],
+             "corner_gts": artifacts["corners_gt"],
+             "R_prs": m["R_pr"], "t_prs": m["t_pr"],
+             "corner_prs": artifacts["corners_pr"]})
+    except ImportError:
+        _log("scipy unavailable: skipped predictions .mat dump")
 
 
 # occlusion eval sweep objects (reference valid_multi.py:160-177)
@@ -203,9 +242,10 @@ def run_validation_multi(datacfg: str, modelcfg: Union[str, DarknetSpec],
     ds = PoseDataset(dcfg.valid, train=False,
                      num_keypoints=spec.num_keypoints,
                      label_path_fn=occlusion_label_path)
+    # multi eval runs at the TRAIN resolution (reference valid_multi.py:71
+    # uses shape=(model.width, model.height), not test_width)
     loader = Loader(ds, batch_size, shuffle=False, schedule=None,
-                    fixed_shape=(spec.net.test_width or 416,
-                                 spec.net.test_height or 416),
+                    fixed_shape=(spec.net.width, spec.net.height),
                     num_workers=num_workers, drop_last=False)
 
     nl = 2 * spec.num_keypoints + 3
@@ -220,9 +260,10 @@ def run_validation_multi(datacfg: str, modelcfg: Union[str, DarknetSpec],
 
     if verbose:
         _log(f"   Testing {name}...")
-    errors = _eval_pass(spec, params, batch_stats, loader, ctx,
-                        batched_pick=pick, num_keypoints=spec.num_keypoints,
-                        fix_gt_corners=True, compute_dtype=compute_dtype)
+    errors, _artifacts = _eval_pass(
+        spec, params, batch_stats, loader, ctx, batched_pick=pick,
+        num_keypoints=spec.num_keypoints, fix_gt_corners=True,
+        compute_dtype=compute_dtype)
     table = multi_accuracy_table(errors.errs_2d)
     if verbose:
         for th, acc in table.items():

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from jax import lax
 
 __all__ = ["DecodedGrid", "decode_grid", "best_boxes", "best_box_for_class",
-           "multi_region_boxes_np"]
+           "multi_region_boxes_np", "bbox_iou", "bbox_ious", "nms"]
 
 
 class DecodedGrid(NamedTuple):
@@ -150,6 +150,77 @@ def best_box_for_class(decoded: DecodedGrid, cls: jax.Array, conf_thresh: float,
         out_clsconf[:, None],
         cls.astype(corners.dtype)[:, None],
     ], axis=-1)
+
+
+def bbox_iou(box1, box2, x1y1x2y2: bool = False) -> float:
+    """IoU of two boxes, center (cx,cy,w,h) or corner form — the union-box
+    formulation of the reference (``utils_multi.py:125-156``): the
+    intersection is derived as w1+w2−union_w (negative ⇒ disjoint ⇒ 0)."""
+    if x1y1x2y2:
+        mx, Mx = min(box1[0], box2[0]), max(box1[2], box2[2])
+        my, My = min(box1[1], box2[1]), max(box1[3], box2[3])
+        w1, h1 = box1[2] - box1[0], box1[3] - box1[1]
+        w2, h2 = box2[2] - box2[0], box2[3] - box2[1]
+    else:
+        mx = min(box1[0] - box1[2] / 2.0, box2[0] - box2[2] / 2.0)
+        Mx = max(box1[0] + box1[2] / 2.0, box2[0] + box2[2] / 2.0)
+        my = min(box1[1] - box1[3] / 2.0, box2[1] - box2[3] / 2.0)
+        My = max(box1[1] + box1[3] / 2.0, box2[1] + box2[3] / 2.0)
+        w1, h1, w2, h2 = box1[2], box1[3], box2[2], box2[3]
+    cw = w1 + w2 - (Mx - mx)
+    ch = h1 + h2 - (My - my)
+    if cw <= 0 or ch <= 0:
+        return 0.0
+    carea = cw * ch
+    return carea / (w1 * h1 + w2 * h2 - carea)
+
+
+def bbox_ious(boxes1: jax.Array, boxes2: jax.Array,
+              x1y1x2y2: bool = False) -> jax.Array:
+    """Vectorized pairwise IoU: (..., 4) × (..., 4) broadcastable → (...)."""
+    if x1y1x2y2:
+        x11, y11, x12, y12 = (boxes1[..., i] for i in range(4))
+        x21, y21, x22, y22 = (boxes2[..., i] for i in range(4))
+        w1, h1 = x12 - x11, y12 - y11
+        w2, h2 = x22 - x21, y22 - y21
+    else:
+        w1, h1 = boxes1[..., 2], boxes1[..., 3]
+        w2, h2 = boxes2[..., 2], boxes2[..., 3]
+        x11, y11 = boxes1[..., 0] - w1 / 2, boxes1[..., 1] - h1 / 2
+        x12, y12 = boxes1[..., 0] + w1 / 2, boxes1[..., 1] + h1 / 2
+        x21, y21 = boxes2[..., 0] - w2 / 2, boxes2[..., 1] - h2 / 2
+        x22, y22 = boxes2[..., 0] + w2 / 2, boxes2[..., 1] + h2 / 2
+    uw = jnp.maximum(x12, x22) - jnp.minimum(x11, x21)
+    uh = jnp.maximum(y12, y22) - jnp.minimum(y11, y21)
+    cw = w1 + w2 - uw
+    ch = h1 + h2 - uh
+    carea = jnp.where((cw > 0) & (ch > 0), cw * ch, 0.0)
+    return carea / jnp.maximum(w1 * h1 + w2 * h2 - carea, 1e-12)
+
+
+def nms(boxes, nms_thresh: float):
+    """Greedy NMS over box lists (reference: ``utils_multi.py:223-241``).
+
+    ``boxes``: sequence of arrays whose [0:4] is a center-form bbox and [4]
+    the detection confidence; sorted descending by conf, suppressing any
+    later box with IoU > thresh.  Defined for toolkit parity — the eval path
+    uses class-filtered max-conf selection instead (``valid_multi.py:118``).
+    """
+    import numpy as np
+
+    if len(boxes) == 0:
+        return boxes
+    boxes = [np.array(b, dtype=np.float32).copy() for b in boxes]
+    order = np.argsort([-b[4] for b in boxes], kind="stable")
+    out = []
+    for oi, i in enumerate(order):
+        bi = boxes[i]
+        if bi[4] > 0:
+            out.append(bi)
+            for j in order[oi + 1:]:
+                if bbox_iou(bi, boxes[j]) > nms_thresh:
+                    boxes[j][4] = 0
+    return out
 
 
 def multi_region_boxes_np(decoded: DecodedGrid, conf_thresh: float,
