@@ -14,8 +14,14 @@ Flags match ``train.py:276-281``, ``valid.py:238-242``,
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 from typing import Optional, Sequence
+
+
+def _require_file(path: Optional[str], what: str) -> None:
+    if path and not os.path.exists(path):
+        raise SystemExit(f"error: {what} not found: {path}")
 
 
 def _resolve_model(modelcfg: str):
@@ -40,11 +46,28 @@ def cmd_train(argv: Sequence[str]) -> int:
                    help="override [net] max_epochs")
     p.add_argument("--bg_dir", type=str,
                    default="VOCdevkit/VOC2012/JPEGImages")
+    p.add_argument("--dp", type=int, default=0,
+                   help="data-parallel over N devices (0 = single device)")
+    p.add_argument("--orbax_dir", type=str, default=None,
+                   help="enable Orbax full-state checkpoints here")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from latest Orbax checkpoint in --orbax_dir")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="dump a jax.profiler trace of steps 5-10 here")
     args = p.parse_args(argv)
+    _require_file(args.datacfg, "data config")
+    _require_file(args.initweightfile or None, "initial weight file")
 
     from .drivers import TrainRunConfig, run_training
+    mesh = None
+    if args.dp:
+        import jax
+        from .parallel.sharding import make_mesh
+        mesh = make_mesh(jax.devices()[:args.dp], dp=args.dp, mp=1)
     rc = TrainRunConfig(bg_dir=args.bg_dir,
-                        max_epochs_override=args.max_epochs)
+                        max_epochs_override=args.max_epochs,
+                        mesh=mesh, orbax_dir=args.orbax_dir,
+                        resume=args.resume, profile_dir=args.profile_dir)
     result = run_training(args.datacfg, _resolve_model(args.modelcfg),
                           args.initweightfile or None,
                           args.pretrain_num_epochs, rc)
@@ -93,6 +116,8 @@ def cmd_valid(argv: Sequence[str]) -> int:
     p.add_argument("--save", action="store_true",
                    help="dump per-frame R/t/corners + predictions .mat")
     args = p.parse_args(argv)
+    _require_file(args.datacfg, "data config")
+    _require_file(args.weightfile, "weight file")
 
     from .drivers import run_validation
     run_validation(args.datacfg, _resolve_model(args.modelcfg),
@@ -108,13 +133,23 @@ def cmd_valid_multi(argv: Sequence[str]) -> int:
     p.add_argument("--datacfgs", type=str, nargs="*", default=None,
                    help="per-object occlusion .data files; default: the "
                         "reference's 6-object sweep under cfg/")
+    p.add_argument("--datacfg", type=str, default=None,
+                   help="a multi .data with valid<i>/mesh<i>/diam<i> keys "
+                        "(e.g. occlusion.data): evals every listed object")
     args = p.parse_args(argv)
+    _require_file(args.weightfile, "weight file")
 
-    from .drivers import OCCLUSION_EVAL_OBJECTS, run_validation_multi
+    from .drivers import (OCCLUSION_EVAL_OBJECTS, run_validation_multi,
+                          run_validation_multi_sweep)
+    spec = _resolve_model(args.modelcfg)
+    if args.datacfg:
+        _require_file(args.datacfg, "data config")
+        run_validation_multi_sweep(args.datacfg, spec, args.weightfile)
+        return 0
     datacfgs = args.datacfgs or [
         f"cfg/{obj}_occlusion.data" for obj in OCCLUSION_EVAL_OBJECTS]
-    spec = _resolve_model(args.modelcfg)
-    for i, dc in enumerate(datacfgs):
+    for dc in datacfgs:
+        _require_file(dc, "data config")
         run_validation_multi(dc, spec, args.weightfile, class_id=None)
     return 0
 

@@ -12,11 +12,13 @@ time.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 __all__ = [
     "parse_cfg",
     "read_data_cfg",
+    "occlusion_sweep",
     "NetConfig",
     "RegionConfig",
     "DataConfig",
@@ -225,6 +227,30 @@ def data_config_from_options(options: Dict[str, str]) -> DataConfig:
             extra[key] = value
     kw["extra"] = extra
     return DataConfig(**kw)
+
+
+def occlusion_sweep(dcfg: DataConfig):
+    """Enumerate the per-object eval entries of a multi-object ``.data``.
+
+    The occlusion config carries numbered keys ``valid<i>``/``mesh<i>``/
+    ``diam<i>`` (reference: ``multi_obj_pose_estimation/cfg/occlusion.data``);
+    returns a list of per-object :class:`DataConfig` views inheriting the
+    shared intrinsics/dims, ordered by index.
+    """
+    entries = []
+    idxs = sorted(int(k[len("valid"):]) for k in dcfg.extra
+                  if k.startswith("valid") and k[len("valid"):].isdigit())
+    for i in idxs:
+        valid = dcfg.extra.get(f"valid{i}")
+        mesh = dcfg.extra.get(f"mesh{i}")
+        diam = dcfg.extra.get(f"diam{i}")
+        name = None
+        if mesh:
+            name = os.path.splitext(os.path.basename(mesh))[0]
+        entries.append(dataclasses.replace(
+            dcfg, valid=valid, mesh=mesh,
+            diam=float(diam) if diam else None, name=name, extra={}))
+    return entries
 
 
 # ---------------------------------------------------------------------------

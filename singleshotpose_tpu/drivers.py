@@ -206,7 +206,8 @@ def _save_predictions(dcfg: DataConfig, ds: PoseDataset, artifacts) -> None:
 OCCLUSION_EVAL_OBJECTS = ("ape", "can", "cat", "duck", "glue", "holepuncher")
 
 
-def run_validation_multi(datacfg: str, modelcfg: Union[str, DarknetSpec],
+def run_validation_multi(datacfg: Union[str, DataConfig],
+                         modelcfg: Union[str, DarknetSpec],
                          weightfile: Optional[str] = None, *,
                          params=None, batch_stats=None,
                          objclass: Optional[str] = None,
@@ -218,8 +219,12 @@ def run_validation_multi(datacfg: str, modelcfg: Union[str, DarknetSpec],
     """Multi-object OCCLUSION eval for one object (reference
     ``valid_multi.py:20-158``): class-picked boxes, ``fix_corner_order`` on
     GT, pixel-error accuracy table at 5..50 px."""
-    options = read_data_cfg(datacfg)
-    dcfg = data_config_from_options(options)
+    if isinstance(datacfg, DataConfig):
+        options: Dict[str, str] = {}
+        dcfg = datacfg
+    else:
+        options = read_data_cfg(datacfg)
+        dcfg = data_config_from_options(options)
     spec = load_spec(modelcfg)
     if weightfile is not None:
         _, params, batch_stats = W.load_weights(spec, weightfile)
@@ -272,6 +277,21 @@ def run_validation_multi(datacfg: str, modelcfg: Union[str, DarknetSpec],
             "mean_err_2d": float(np.mean(errors.errs_2d))
             if len(errors) else float("nan"),
             "n_samples": len(errors)}
+
+
+def run_validation_multi_sweep(occlusion_datacfg: str,
+                               modelcfg: Union[str, DarknetSpec],
+                               weightfile: str,
+                               **kw) -> List[Dict[str, object]]:
+    """Eval every object listed in a multi ``.data``'s numbered
+    ``valid<i>``/``mesh<i>``/``diam<i>`` keys (``occlusion.data``)."""
+    from .config import occlusion_sweep
+    dcfg = data_config_from_options(read_data_cfg(occlusion_datacfg))
+    spec = load_spec(modelcfg)
+    _, params, batch_stats = W.load_weights(spec, weightfile)
+    return [run_validation_multi(entry, spec, params=params,
+                                 batch_stats=batch_stats, **kw)
+            for entry in occlusion_sweep(dcfg)]
 
 
 # ---------------------------------------------------------------------------
