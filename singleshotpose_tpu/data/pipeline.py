@@ -253,6 +253,7 @@ class Loader:
         # native C++ fused decode/augment (singleshotpose_tpu/native); only
         # the non-synthesized paths have a native kernel
         self._native = None
+        self._device = backend == "device"
         if backend in ("auto", "native") and dataset.synthesizer is None:
             try:
                 from ..native import NativeLoader
@@ -263,6 +264,17 @@ class Loader:
         elif backend == "native" and dataset.synthesizer is not None:
             raise ValueError("native backend does not cover the "
                              "scene-synthesis path")
+        elif self._device:
+            if dataset.synthesizer is not None:
+                raise ValueError("device backend does not cover the "
+                                 "scene-synthesis path")
+            # host decodes at native size; composite/crop/HSV run on the
+            # accelerator as one jitted program (data/device_augment.py)
+            try:
+                from ..native import NativeLoader
+                self._dev_decoder = NativeLoader(nthreads=max(num_workers, 0))
+            except (RuntimeError, OSError, ImportError):
+                self._dev_decoder = None
 
     @property
     def nbatches(self) -> int:
@@ -283,6 +295,10 @@ class Loader:
         for start in range(0, end, self.batch_size):
             idxs = order[start:start + self.batch_size]
             shape = self._batch_shape()
+
+            if self._device and self.ds.train:
+                yield self._device_batch(idxs, shape)
+                continue
 
             if self._native is not None:
                 yield self._native_batch(idxs, shape)
@@ -308,6 +324,69 @@ class Loader:
             labels = np.stack([r[1] for r in results])
             self.seen += len(idxs)
             yield imgs, labels
+
+    def _device_batch(self, idxs, shape):
+        """Decode on host, augment on the accelerator.
+
+        Yields (device f32 images (B,h,w,3), labels) — the images are already
+        on the default device, augmented by one jitted XLA program.  All
+        source images must share one native size (true for LINEMOD).
+        """
+        import jax.numpy as jnp
+
+        from ..utils.labels import read_truths
+        from . import device_augment as DA
+
+        w, h = shape
+
+        def decode(path):
+            if self._dev_decoder is not None:
+                return self._dev_decoder.decode(path)
+            return load_image(path)
+
+        def one(i):
+            imgpath = self.ds.lines[int(i)]
+            img = decode(imgpath)
+            mask = decode(mask_path_from_image(imgpath))
+            return img, mask
+
+        work = list(idxs)
+        if self.pool is not None:
+            decoded = list(self.pool.map(one, work))
+        else:
+            decoded = [one(i) for i in work]
+        imgs = np.stack([d[0] for d in decoded]).astype(np.float32) / 255.0
+        ih, iw = imgs.shape[1:3]
+        masks = np.stack([d[1][..., :1] for d in decoded]).astype(np.float32) / 255.0
+
+        B = len(work)
+        if self.ds.bg_file_names:
+            bgs = np.stack([
+                augment.resize_nearest(
+                    decode(self.ds.bg_file_names[
+                        self.rng.randint(len(self.ds.bg_file_names))]),
+                    iw, ih)
+                for _ in range(B)]).astype(np.float32) / 255.0
+        else:
+            bgs = np.zeros_like(imgs)
+            masks = np.ones_like(masks)
+
+        params, lab_tf = DA.draw_params(
+            self.rng, B, iw, ih, jitter=self.ds.aug.jitter,
+            hue=self.ds.aug.hue, saturation=self.ds.aug.saturation,
+            exposure=self.ds.aug.exposure)
+        out = DA.augment_batch(jnp.asarray(imgs), jnp.asarray(masks),
+                               jnp.asarray(bgs), params, w, h)
+
+        labels = np.stack([
+            augment.transform_truths(
+                self.ds._read_truths_full(self.ds.lines[int(i)]),
+                lab_tf[b, 0], lab_tf[b, 1],
+                1.0 / lab_tf[b, 2], 1.0 / lab_tf[b, 3],
+                self.ds.num_keypoints, self.ds.max_num_gt)
+            for b, i in enumerate(work)])
+        self.seen += B
+        return out, labels
 
     def _native_batch(self, idxs, shape):
         """One batch through the C++ fused decode/augment thread pool."""
