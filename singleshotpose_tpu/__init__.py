@@ -11,3 +11,45 @@ darknet ``.weights`` IO, and data-parallel scale-out over a TPU mesh.
 __version__ = "0.1.0"
 
 from . import config  # noqa: F401
+
+# Lazy top-level API: heavy submodules (jax tracing, native build) load on
+# first attribute access so `import singleshotpose_tpu` stays instant.
+_LAZY = {
+    "DarknetSpec": ("singleshotpose_tpu.models.darknet", "DarknetSpec"),
+    "fold_batchnorm": ("singleshotpose_tpu.models.darknet", "fold_batchnorm"),
+    "load_weights": ("singleshotpose_tpu.weights", "load_weights"),
+    "load_weights_until_last": ("singleshotpose_tpu.weights",
+                                "load_weights_until_last"),
+    "save_weights": ("singleshotpose_tpu.weights", "save_weights"),
+    "parse_cfg": ("singleshotpose_tpu.config", "parse_cfg"),
+    "read_data_cfg": ("singleshotpose_tpu.config", "read_data_cfg"),
+    "yolo_pose_single": ("singleshotpose_tpu.zoo", "yolo_pose_single"),
+    "yolo_pose_multi": ("singleshotpose_tpu.zoo", "yolo_pose_multi"),
+    "yolo_pose_pretrain": ("singleshotpose_tpu.zoo", "yolo_pose_pretrain"),
+    "RegionLossConfig": ("singleshotpose_tpu.ops.losses", "RegionLossConfig"),
+    "region_loss": ("singleshotpose_tpu.ops.losses", "region_loss"),
+    "decode_grid": ("singleshotpose_tpu.ops.decode", "decode_grid"),
+    "best_boxes": ("singleshotpose_tpu.ops.decode", "best_boxes"),
+    "pnp": ("singleshotpose_tpu.ops.pnp", "pnp"),
+    "pnp_batched": ("singleshotpose_tpu.ops.pnp", "pnp_batched"),
+    "run_training": ("singleshotpose_tpu.drivers", "run_training"),
+    "run_validation": ("singleshotpose_tpu.drivers", "run_validation"),
+    "run_training_multi": ("singleshotpose_tpu.drivers",
+                           "run_training_multi"),
+    "run_validation_multi": ("singleshotpose_tpu.drivers",
+                             "run_validation_multi"),
+    "make_train_step": ("singleshotpose_tpu.training", "make_train_step"),
+    "init_train_state": ("singleshotpose_tpu.training", "init_train_state"),
+    "make_mesh": ("singleshotpose_tpu.parallel.sharding", "make_mesh"),
+}
+
+__all__ = ["config", "__version__"] + sorted(_LAZY)
+
+
+def __getattr__(name):
+    import importlib
+
+    if name in _LAZY:
+        module, attr = _LAZY[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -15,7 +15,7 @@ needs on top of :mod:`singleshotpose_tpu.weights`:
 from __future__ import annotations
 
 import os
-from typing import Any, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import numpy as np

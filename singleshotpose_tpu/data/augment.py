@@ -18,8 +18,6 @@ Documented divergences from the reference (deliberate fixes):
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import numpy as np
 
 __all__ = ["rand_scale", "distort_hsv", "random_distort", "crop_resize",

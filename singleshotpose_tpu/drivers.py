@@ -14,7 +14,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import time
-from typing import Callable, Dict, List, Optional, Sequence, Tuple, Union
+from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 
@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from . import weights as W
 from .config import DataConfig, data_config_from_options, parse_cfg, read_data_cfg
 from .data.pipeline import (MULTI_SCHEDULE, SINGLE_SCHEDULE, AugmentConfig,
-                            Loader, MultiScaleSchedule, PoseDataset)
+                            Loader, PoseDataset)
 from .evaluate import (EvalContext, PoseErrors, accuracy_summary,
                        gt_corner_boxes, multi_accuracy_table, pose_metrics)
 from .models.darknet import DarknetSpec, fold_batchnorm
@@ -35,8 +35,8 @@ from .training import (TrainState, init_train_state, make_train_step,
 from .utils.labels import get_all_files
 
 __all__ = ["load_spec", "loss_config_from_spec", "run_validation",
-           "run_validation_multi", "run_training", "run_training_multi",
-           "TrainRunConfig"]
+           "run_validation_multi", "run_validation_multi_sweep",
+           "run_training", "run_training_multi", "TrainRunConfig"]
 
 
 def _log(msg: str) -> None:
@@ -401,6 +401,34 @@ def run_training(datacfg: str, modelcfg: Union[str, DarknetSpec],
                                 "testing_errors_angle": []}
     best_acc = -float("inf")
 
+    try:
+        processed_batches, best_acc = _train_epochs(
+            spec, state_box := [state], loader, step, net, steps, scales,
+            batch_size, nbatches, nsamples, init_epoch, max_epochs,
+            processed_batches, rc, ckpt, datacfg, backupdir, history,
+            best_acc)
+        state = state_box[0]
+    except BaseException:
+        # crash-safe: flush an emergency full-state checkpoint before
+        # re-raising (the reference loses everything since the last
+        # best-model save)
+        state = state_box[0]
+        if ckpt is not None:
+            _log("emergency checkpoint on failure")
+            ckpt.save(processed_batches, state, wait=True)
+            ckpt.close()
+        raise
+    if ckpt is not None:
+        ckpt.save(processed_batches, state, wait=True)
+        ckpt.close()
+    return {"state": state, "best_acc": best_acc, "history": history}
+
+
+def _train_epochs(spec, state_box, loader, step, net, steps, scales,
+                  batch_size, nbatches, nsamples, init_epoch, max_epochs,
+                  processed_batches, rc, ckpt, datacfg, backupdir, history,
+                  best_acc):
+    state = state_box[0]
     for epoch in range(init_epoch, max_epochs):
         lr = schedule_lr(net.learning_rate, processed_batches, steps, scales)
         _log(f"epoch {epoch}, processed {epoch * nsamples} samples, lr {lr:f}")
@@ -418,6 +446,7 @@ def run_training(datacfg: str, modelcfg: Union[str, DarknetSpec],
             state, stats = step(state, images, labels,
                                 np.float32(lr / batch_size),
                                 np.int32(epoch))
+            state_box[0] = state
             pending.append((epoch * int(np.ceil(nbatches)) + bidx, stats))
             processed_batches += 1
             if rc.profile_dir and processed_batches == rc.profile_steps[1]:
@@ -453,10 +482,7 @@ def run_training(datacfg: str, modelcfg: Union[str, DarknetSpec],
                                jax.device_get(state.batch_stats),
                                os.path.join(backupdir, "model.weights"),
                                seen=int(jax.device_get(state.seen)))
-    if ckpt is not None:
-        ckpt.save(processed_batches, state, wait=True)
-        ckpt.close()
-    return {"state": state, "best_acc": best_acc, "history": history}
+    return processed_batches, best_acc
 
 
 def run_training_multi(datacfg: str, modelcfg: Union[str, DarknetSpec],

@@ -18,11 +18,9 @@ with the reference's ``len(...)*100/(n+1e-5)`` accuracy convention.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence
 
 import numpy as np
-
-import jax.numpy as jnp
 
 from .config import DataConfig
 from .ops.pnp import pnp_batched

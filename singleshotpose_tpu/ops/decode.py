@@ -22,7 +22,7 @@ Deliberate divergences from the reference (documented, saner semantics):
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

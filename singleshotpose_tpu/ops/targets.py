@@ -30,7 +30,6 @@ Documented divergences (reference bugs not copied):
 
 from __future__ import annotations
 
-import dataclasses
 from typing import NamedTuple, Optional, Tuple
 
 import jax

@@ -23,7 +23,6 @@ them, ``darknet.py:373-375`` — never triggered because pose nets have no fc).
 
 from __future__ import annotations
 
-import os
 from typing import Dict, Optional, Tuple
 
 import numpy as np

@@ -17,7 +17,7 @@ branch (route to the 26×26×512 layer → 1×1×64 conv → space-to-depth stri
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 from .models.darknet import DarknetSpec
 
