@@ -433,7 +433,8 @@ def _train_epochs(spec, state_box, loader, step, net, steps, scales,
         lr = schedule_lr(net.learning_rate, processed_batches, steps, scales)
         _log(f"epoch {epoch}, processed {epoch * nsamples} samples, lr {lr:f}")
         pending = []  # async stats fetch: (iter, device stats)
-        for bidx, (images, labels) in enumerate(loader):
+        from .data.prefetch import prefetch
+        for bidx, (images, labels) in enumerate(prefetch(loader)):
             lr = schedule_lr(net.learning_rate, processed_batches, steps,
                              scales)
             if rc.profile_dir and processed_batches == rc.profile_steps[0]:
@@ -558,7 +559,8 @@ def run_training_multi(datacfg: str, modelcfg: Union[str, DarknetSpec],
         lr = schedule_lr(net.learning_rate, processed_batches, steps, scales)
         _log(f"[multi] epoch {epoch}, lr {lr:f}")
         pending = []
-        for bidx, (images, labels) in enumerate(loader):
+        from .data.prefetch import prefetch
+        for bidx, (images, labels) in enumerate(prefetch(loader)):
             lr = schedule_lr(net.learning_rate, processed_batches, steps,
                              scales)
             state, stats = step(state, jnp.asarray(images),
