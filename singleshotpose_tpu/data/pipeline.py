@@ -282,6 +282,8 @@ class Loader:
 
     def _batch_shape(self) -> Tuple[int, int]:
         if self.fixed_shape is not None or not self.ds.train:
+            if self.fixed_shape is None:
+                raise ValueError("test-mode Loader requires fixed_shape")
             return self.fixed_shape
         w = self.schedule.draw(self.rng, self.seen, max(self.nbatches, 1),
                                self.batch_size)

@@ -79,10 +79,11 @@ def loss_config_from_spec(spec: DarknetSpec, *, pretrain_num_epochs: int,
 def _eval_pass(spec: DarknetSpec, params, batch_stats, loader: Loader,
                ctx: EvalContext, *, batched_pick, num_keypoints: int,
                fix_gt_corners: bool = False,
-               compute_dtype=jnp.bfloat16) -> PoseErrors:
+               compute_dtype=jnp.bfloat16):
     """Shared eval loop: forward → decode → pick box → batched metrics.
 
     ``batched_pick(decoded, labels) -> (B, 2K+3) boxes``.
+    Returns (PoseErrors, artifacts dict with corners/metrics, empty if no GT).
     """
     folded = fold_batchnorm(spec, params, batch_stats)
     K, C, nA = num_keypoints, spec.num_classes, spec.num_anchors
@@ -520,13 +521,23 @@ def run_training_multi(datacfg: str, modelcfg: Union[str, DarknetSpec],
     backupdir = dcfg.backup or "backup_multi"
     os.makedirs(backupdir, exist_ok=True)
 
-    if initweightfile:
-        _, params, batch_stats = W.load_weights_until_last(spec, initweightfile)
+    ckpt = None
+    if rc.orbax_dir:
+        from .checkpoint import OrbaxCheckpointer
+        ckpt = OrbaxCheckpointer(rc.orbax_dir)
+    if rc.resume and ckpt is not None and ckpt.latest_step() is not None:
+        state, _step = ckpt.restore()
+        _log(f"[multi] resumed from {rc.orbax_dir} at "
+             f"seen={int(jax.device_get(state.seen))}")
     else:
-        params, batch_stats = spec.init_params(jax.random.PRNGKey(rc.seed))
-    params = jax.tree.map(jnp.asarray, params)
-    batch_stats = jax.tree.map(jnp.asarray, batch_stats)
-    state = init_train_state(params, batch_stats)
+        if initweightfile:
+            _, params, batch_stats = W.load_weights_until_last(
+                spec, initweightfile)
+        else:
+            params, batch_stats = spec.init_params(jax.random.PRNGKey(rc.seed))
+        params = jax.tree.map(jnp.asarray, params)
+        batch_stats = jax.tree.map(jnp.asarray, batch_stats)
+        state = init_train_state(params, batch_stats)
     processed_batches = 0
 
     loss_cfg = loss_config_from_spec(
@@ -573,6 +584,10 @@ def run_training_multi(datacfg: str, modelcfg: Union[str, DarknetSpec],
                 pending = []
         _drain_stats(pending, history, epoch)
 
+        if ckpt is not None and rc.orbax_every_epochs and \
+                epoch % rc.orbax_every_epochs == 0:
+            ckpt.save(processed_batches, state)
+
         if eval_datacfgs and (epoch % rc.eval_every == 0) \
                 and (epoch > rc.eval_after):
             accs = []
@@ -596,6 +611,9 @@ def run_training_multi(datacfg: str, modelcfg: Union[str, DarknetSpec],
                                jax.device_get(state.batch_stats),
                                os.path.join(backupdir, "model.weights"),
                                seen=int(jax.device_get(state.seen)))
+    if ckpt is not None:
+        ckpt.save(processed_batches, state, wait=True)
+        ckpt.close()
     return {"state": state, "best_acc": best_acc, "history": history}
 
 
