@@ -22,7 +22,8 @@ from typing import Dict, List, Sequence, Tuple
 from .models.darknet import DarknetSpec
 
 __all__ = ["yolo_pose_blocks", "yolo_pose_single", "yolo_pose_multi",
-           "yolo_pose_pretrain", "MULTI_ANCHORS"]
+           "yolo_pose_pretrain", "MULTI_ANCHORS", "LINEMOD_OBJECTS",
+           "LINEMOD_DIAMETERS", "linemod_datacfg"]
 
 # 5 anchor (w, h) pairs in grid units (yolo-pose-multi.cfg:240)
 MULTI_ANCHORS: Tuple[float, ...] = (
@@ -118,6 +119,41 @@ def yolo_pose_multi(**overrides) -> DarknetSpec:
               scales=(0.1, 10, 0.1, 0.1), conf_thresh=0.05)
     kw.update(overrides)
     return DarknetSpec(yolo_pose_blocks(**kw))
+
+
+# Published LINEMOD object diameters in meters (reference: cfg/<obj>.data:7,
+# e.g. ape.data "diam = 0.103") and the shared camera intrinsics.
+LINEMOD_DIAMETERS: Dict[str, float] = {
+    "ape": 0.103, "benchvise": 0.286908, "cam": 0.173, "can": 0.202,
+    "cat": 0.155, "driller": 0.262, "duck": 0.109, "eggbox": 0.176364,
+    "glue": 0.176, "holepuncher": 0.162, "iron": 0.303153,
+    "lamp": 0.285155, "phone": 0.213,
+}
+LINEMOD_OBJECTS: Tuple[str, ...] = tuple(LINEMOD_DIAMETERS)
+
+
+def linemod_datacfg(obj: str, linemod_root: str = "LINEMOD",
+                    backup_root: str = "backup") -> str:
+    """Render a per-object ``.data`` config (≡ ``cfg/<obj>.data``) for a
+    LINEMOD tree at ``linemod_root`` — parseable by ``read_data_cfg``."""
+    if obj not in LINEMOD_DIAMETERS:
+        raise ValueError(f"unknown LINEMOD object {obj!r}; "
+                         f"choose from {sorted(LINEMOD_DIAMETERS)}")
+    r = f"{linemod_root}/{obj}"
+    return (f"train = {r}/train.txt\n"
+            f"valid = {r}/test.txt\n"
+            f"backup = {backup_root}/{obj}\n"
+            f"mesh = {r}/{obj}.ply\n"
+            f"tr_range = {r}/training_range.txt\n"
+            f"name = {obj}\n"
+            f"diam = {LINEMOD_DIAMETERS[obj]}\n"
+            "gpus = 0\n"
+            "width = 640\n"
+            "height = 480\n"
+            "fx = 572.4114\n"
+            "fy = 573.5704\n"
+            "u0 = 325.2611\n"
+            "v0 = 242.0489\n")
 
 
 def yolo_pose_pretrain(**overrides) -> DarknetSpec:
