@@ -98,7 +98,7 @@ def cmd_train_multi(argv: Sequence[str]) -> int:
         # reference sweep: train_multi.py:277-297
         eval_dcs = [f"cfg/{o}_occlusion.data"
                     for o in ("ape", "can", "cat", "duck", "driller", "glue")]
-        eval_dcs = [dc for dc in eval_dcs if __import__("os").path.exists(dc)]
+        eval_dcs = [dc for dc in eval_dcs if os.path.exists(dc)]
     result = run_training_multi(args.datacfg, _resolve_model(args.modelcfg),
                                 args.initweightfile or None,
                                 args.pretrain_num_epochs, eval_dcs,

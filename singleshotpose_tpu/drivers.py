@@ -28,7 +28,8 @@ from .data.pipeline import (MULTI_SCHEDULE, SINGLE_SCHEDULE, AugmentConfig,
 from .evaluate import (EvalContext, PoseErrors, accuracy_summary,
                        gt_corner_boxes, multi_accuracy_table, pose_metrics)
 from .models.darknet import DarknetSpec, fold_batchnorm
-from .ops.decode import best_box_for_class, best_boxes, decode_grid
+from .ops.decode import (best_box_for_class, best_boxes,
+                         best_boxes_per_class, decode_grid)
 from .ops.losses import RegionLossConfig
 from .training import (TrainState, init_train_state, make_train_step,
                        schedule_lr)
@@ -52,28 +53,61 @@ def load_spec(modelcfg: Union[str, DarknetSpec]) -> DarknetSpec:
 
 def loss_config_from_spec(spec: DarknetSpec, *, pretrain_num_epochs: int,
                           im_width: int, im_height: int,
-                          multi: bool = False) -> RegionLossConfig:
-    """Loss hyperparams from the spec's [region] block.
+                          multi: bool = False,
+                          honor_cfg_scales: bool = False,
+                          use_pallas: Optional[bool] = None
+                          ) -> RegionLossConfig:
+    """Loss config: topology from the spec's [region] block, scales per the
+    reference's EFFECTIVE behavior.
 
-    NOTE the reference driver ignores the [region] scales and hard-codes the
-    RegionLoss defaults (``train.py:335`` vs ``region_loss.py:87-91``); those
-    defaults equal yolo-pose.cfg's values, so honoring the cfg is both parity
-    and correctness for variant cfgs (e.g. yolo-pose-pre's zeroed scales).
+    The reference loss modules hard-code coord/object/noobject/class scales
+    1/5/1/1 and thresh 0.6 and IGNORE the [region] values
+    (``region_loss.py:88-91``, ``region_loss_multi.py:103-106``) — every
+    published run, including yolo-pose-pre's nominally-zeroed scales, trained
+    with 1/5/1/1.  Default = that parity behavior; ``honor_cfg_scales=True``
+    opts into what the cfg files *say*.
     """
     r = spec.region
+    scales = dict(coord_scale=r.coord_scale, noobject_scale=r.noobject_scale,
+                  object_scale=r.object_scale, class_scale=r.class_scale,
+                  sil_thresh=r.thresh) if honor_cfg_scales else \
+        dict(coord_scale=1.0, noobject_scale=1.0, object_scale=5.0,
+             class_scale=1.0, sil_thresh=0.6)
     return RegionLossConfig(
         num_keypoints=spec.num_keypoints,
         num_classes=r.classes, num_anchors=r.num, anchors=r.anchors,
-        coord_scale=r.coord_scale, noobject_scale=r.noobject_scale,
-        object_scale=r.object_scale, class_scale=r.class_scale,
-        sil_thresh=r.thresh, pretrain_num_epochs=pretrain_num_epochs,
+        pretrain_num_epochs=pretrain_num_epochs,
         with_class_loss=multi and r.classes > 1,
-        im_width=float(im_width), im_height=float(im_height))
+        im_width=float(im_width), im_height=float(im_height),
+        use_pallas=use_pallas, **scales)
 
 
 # ---------------------------------------------------------------------------
 # validation
 # ---------------------------------------------------------------------------
+
+
+# jitted eval forwards, cached per (spec identity, compute dtype) so repeated
+# in-training evals and multi-object sweeps reuse one compiled executable
+# instead of retracing a fresh closure every call
+import weakref
+
+_FWD_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _eval_forward(spec: DarknetSpec, compute_dtype):
+    key = str(compute_dtype)
+    per_spec = _FWD_CACHE.setdefault(spec, {})
+    if key not in per_spec:
+        K, C, nA = spec.num_keypoints, spec.num_classes, spec.num_anchors
+
+        @jax.jit
+        def forward(p, images):
+            head = spec.apply_folded(p, images, compute_dtype=compute_dtype)
+            return decode_grid(head.astype(jnp.float32), K, C, nA)
+
+        per_spec[key] = forward
+    return per_spec[key]
 
 
 def _eval_pass(spec: DarknetSpec, params, batch_stats, loader: Loader,
@@ -82,27 +116,34 @@ def _eval_pass(spec: DarknetSpec, params, batch_stats, loader: Loader,
                compute_dtype=jnp.bfloat16):
     """Shared eval loop: forward → decode → pick box → batched metrics.
 
-    ``batched_pick(decoded, labels) -> (B, 2K+3) boxes``.
-    Returns (PoseErrors, artifacts dict with corners/metrics, empty if no GT).
+    ``batched_pick(decoded, labels)`` returns either per-image boxes
+    (B, 2K+3) or per-image-per-class boxes (B, C, 2K+3); with the latter,
+    each ground truth is paired with the box of its own class (reference:
+    ``valid_multi.py:118-123``).
+    Returns (PoseErrors, artifacts dict with corners/metrics/image_idx,
+    empty dict if no GT).
     """
     folded = fold_batchnorm(spec, params, batch_stats)
-    K, C, nA = num_keypoints, spec.num_classes, spec.num_anchors
-
-    @jax.jit
-    def forward(p, images):
-        head = spec.apply_folded(p, images, compute_dtype=compute_dtype)
-        return decode_grid(head.astype(jnp.float32), K, C, nA)
+    K = num_keypoints
+    forward = _eval_forward(spec, compute_dtype)
 
     all_gt: List[np.ndarray] = []
     all_pr: List[np.ndarray] = []
+    image_idx: List[int] = []
+    img_base = 0
     for images, labels in loader:
         decoded = forward(folded, jnp.asarray(images))
         boxes = np.asarray(batched_pick(decoded, labels))
+        nl = labels.shape[1] // 50
         for b in range(images.shape[0]):
             gts = gt_corner_boxes(labels[b], K)          # (nGT, 2K)
-            for g in gts:
+            classes = labels[b].reshape(50, nl)[:len(gts), 0].astype(int)
+            for k, g in enumerate(gts):
+                box = boxes[b, classes[k]] if boxes.ndim == 3 else boxes[b]
                 all_gt.append(g.reshape(K, 2))
-                all_pr.append(boxes[b, :2 * K].reshape(K, 2))
+                all_pr.append(box[:2 * K].reshape(K, 2))
+                image_idx.append(img_base + b)
+        img_base += images.shape[0]
 
     errors = PoseErrors()
     if not all_gt:
@@ -112,7 +153,8 @@ def _eval_pass(spec: DarknetSpec, params, batch_stats, loader: Loader,
     pr = np.stack(all_pr) * scale
     metrics = pose_metrics(gt, pr, ctx, fix_gt_corners=fix_gt_corners)
     errors.extend(metrics)
-    return errors, {"corners_gt": gt, "corners_pr": pr, "metrics": metrics}
+    return errors, {"corners_gt": gt, "corners_pr": pr, "metrics": metrics,
+                    "image_idx": np.asarray(image_idx)}
 
 
 def run_validation(datacfg: str, modelcfg: Union[str, DarknetSpec],
@@ -180,9 +222,16 @@ def _save_predictions(dcfg: DataConfig, ds: PoseDataset, artifacts) -> None:
     os.makedirs(gt_dir, exist_ok=True)
     os.makedirs(pr_dir, exist_ok=True)
     n = artifacts["corners_gt"].shape[0]
+    image_idx = artifacts.get("image_idx")
     for i in range(n):
+        # artifact rows are per-GT; map each back to its source image so
+        # zero-GT or multi-GT frames don't shift the filenames
+        src = int(image_idx[i]) if image_idx is not None else i
         stem = os.path.splitext(os.path.basename(
-            ds.lines[i] if i < len(ds.lines) else f"{i:06d}"))[0]
+            ds.lines[src] if src < len(ds.lines) else f"{src:06d}"))[0]
+        if image_idx is not None and (image_idx == image_idx[i]).sum() > 1:
+            k = int((image_idx[:i] == image_idx[i]).sum())
+            stem = f"{stem}_obj{k}"
         np.savetxt(os.path.join(gt_dir, f"R_{stem}.txt"), m["R_gt"][i])
         np.savetxt(os.path.join(gt_dir, f"t_{stem}.txt"), m["t_gt"][i])
         np.savetxt(os.path.join(gt_dir, f"corners_{stem}.txt"),
@@ -254,15 +303,13 @@ def run_validation_multi(datacfg: Union[str, DataConfig],
                     fixed_shape=(spec.net.width, spec.net.height),
                     num_workers=num_workers, drop_last=False)
 
-    nl = 2 * spec.num_keypoints + 3
-
     def pick(decoded, labels):
-        # class of interest = each image's first GT class (the reference
-        # passes int(target[0][0]) as correspondingclass, train_multi.py:193)
-        cls = labels.reshape(labels.shape[0], -1, nl)[:, 0, 0].astype(np.int32)
         if class_id is not None:
-            cls = np.full_like(cls, class_id)
-        return best_box_for_class(decoded, jnp.asarray(cls), conf_thresh)
+            return best_box_for_class(decoded, class_id, conf_thresh)
+        # per-class boxes: each GT is paired with the best box of its OWN
+        # class by _eval_pass (reference valid_multi.py:118-123 semantics;
+        # fixes the multi-GT case where the first GT's class was used for all)
+        return best_boxes_per_class(decoded, conf_thresh)
 
     if verbose:
         _log(f"   Testing {name}...")
@@ -384,7 +431,8 @@ def run_training(datacfg: str, modelcfg: Union[str, DarknetSpec],
 
     loss_cfg = loss_config_from_spec(
         spec, pretrain_num_epochs=pretrain_num_epochs,
-        im_width=dcfg.width, im_height=dcfg.height)
+        im_width=dcfg.width, im_height=dcfg.height,
+        use_pallas=False if rc.mesh is not None else None)
     step = make_train_step(spec, loss_cfg,
                            weight_decay=net.decay * batch_size,
                            momentum=net.momentum,
@@ -402,21 +450,26 @@ def run_training(datacfg: str, modelcfg: Union[str, DarknetSpec],
                                 "testing_errors_angle": []}
     best_acc = -float("inf")
 
+    pb_box = [processed_batches]
     try:
         processed_batches, best_acc = _train_epochs(
             spec, state_box := [state], loader, step, net, steps, scales,
             batch_size, nbatches, nsamples, init_epoch, max_epochs,
-            processed_batches, rc, ckpt, datacfg, backupdir, history,
-            best_acc)
+            pb_box, rc, ckpt, datacfg, backupdir, history, best_acc)
         state = state_box[0]
     except BaseException:
         # crash-safe: flush an emergency full-state checkpoint before
         # re-raising (the reference loses everything since the last
-        # best-model save)
+        # best-model save).  pb_box carries the CURRENT batch counter so
+        # the rescued state lands at the latest step (not the stale
+        # pre-loop value) and resume restores it.
         state = state_box[0]
         if ckpt is not None:
             _log("emergency checkpoint on failure")
-            ckpt.save(processed_batches, state, wait=True)
+            try:
+                ckpt.save(pb_box[0], state, wait=True)
+            except Exception:
+                ckpt.save(pb_box[0] + 1, state, wait=True)
             ckpt.close()
         raise
     if ckpt is not None:
@@ -427,9 +480,10 @@ def run_training(datacfg: str, modelcfg: Union[str, DarknetSpec],
 
 def _train_epochs(spec, state_box, loader, step, net, steps, scales,
                   batch_size, nbatches, nsamples, init_epoch, max_epochs,
-                  processed_batches, rc, ckpt, datacfg, backupdir, history,
+                  pb_box, rc, ckpt, datacfg, backupdir, history,
                   best_acc):
     state = state_box[0]
+    processed_batches = pb_box[0]
     for epoch in range(init_epoch, max_epochs):
         lr = schedule_lr(net.learning_rate, processed_batches, steps, scales)
         _log(f"epoch {epoch}, processed {epoch * nsamples} samples, lr {lr:f}")
@@ -451,6 +505,7 @@ def _train_epochs(spec, state_box, loader, step, net, steps, scales,
             state_box[0] = state
             pending.append((epoch * int(np.ceil(nbatches)) + bidx, stats))
             processed_batches += 1
+            pb_box[0] = processed_batches
             if rc.profile_dir and processed_batches == rc.profile_steps[1]:
                 jax.block_until_ready(stats["loss"])
                 jax.profiler.stop_trace()
@@ -538,11 +593,17 @@ def run_training_multi(datacfg: str, modelcfg: Union[str, DarknetSpec],
         params = jax.tree.map(jnp.asarray, params)
         batch_stats = jax.tree.map(jnp.asarray, batch_stats)
         state = init_train_state(params, batch_stats)
-    processed_batches = 0
+    # resume derives schedule/epoch position from the restored seen counter
+    # (the single-object driver's semantics; the reference's own resume
+    # plumbing is dead code, train.py:341-346)
+    seen0 = int(jax.device_get(state.seen))
+    processed_batches = seen0 // batch_size
+    init_epoch = seen0 // max(nsamples, 1)
 
     loss_cfg = loss_config_from_spec(
         spec, pretrain_num_epochs=pretrain_num_epochs,
-        im_width=dcfg.width, im_height=dcfg.height, multi=True)
+        im_width=dcfg.width, im_height=dcfg.height, multi=True,
+        use_pallas=False if rc.mesh is not None else None)
     step = make_train_step(spec, loss_cfg,
                            weight_decay=net.decay * batch_size,
                            momentum=net.momentum,
@@ -559,14 +620,41 @@ def run_training_multi(datacfg: str, modelcfg: Union[str, DarknetSpec],
     ds = PoseDataset(dcfg.train, train=True, bg_file_names=bg_files,
                      aug=AugmentConfig.multi(),
                      num_keypoints=spec.num_keypoints, synthesizer=synth)
-    loader = Loader(ds, batch_size, schedule=MULTI_SCHEDULE,
+    loader = Loader(ds, batch_size, schedule=MULTI_SCHEDULE, seen=seen0,
                     num_workers=rc.num_workers, seed=rc.seed)
 
     history: Dict[str, List] = {"training_iters": [], "training_losses": [],
                                 "testing_iters": [], "testing_accuracies": []}
     best_acc = -float("inf")
 
-    for epoch in range(max_epochs):
+    try:
+        for epoch in range(init_epoch, max_epochs):
+            processed_batches, best_acc = _multi_epoch_body(
+                epoch, spec, state_box := [state], loader, step, net, steps,
+                scales, batch_size, nbatches, processed_batches, rc, ckpt,
+                eval_datacfgs, backupdir, history, best_acc)
+            state = state_box[0]
+    except BaseException:
+        state = state_box[0] if 'state_box' in dir() else state
+        if ckpt is not None:
+            _log("[multi] emergency checkpoint on failure")
+            try:
+                ckpt.save(processed_batches, state, wait=True)
+            except Exception:
+                ckpt.save(processed_batches + 1, state, wait=True)
+            ckpt.close()
+        raise
+    if ckpt is not None:
+        ckpt.save(processed_batches, state, wait=True)
+        ckpt.close()
+    return {"state": state, "best_acc": best_acc, "history": history}
+
+
+def _multi_epoch_body(epoch, spec, state_box, loader, step, net, steps,
+                      scales, batch_size, nbatches, processed_batches, rc,
+                      ckpt, eval_datacfgs, backupdir, history, best_acc):
+    state = state_box[0]
+    if True:
         lr = schedule_lr(net.learning_rate, processed_batches, steps, scales)
         _log(f"[multi] epoch {epoch}, lr {lr:f}")
         pending = []
@@ -577,6 +665,7 @@ def run_training_multi(datacfg: str, modelcfg: Union[str, DarknetSpec],
             state, stats = step(state, jnp.asarray(images),
                                 jnp.asarray(labels),
                                 np.float32(lr / batch_size), np.int32(epoch))
+            state_box[0] = state
             pending.append((epoch * int(np.ceil(nbatches)) + bidx, stats))
             processed_batches += 1
             if len(pending) >= rc.log_every:
@@ -611,10 +700,7 @@ def run_training_multi(datacfg: str, modelcfg: Union[str, DarknetSpec],
                                jax.device_get(state.batch_stats),
                                os.path.join(backupdir, "model.weights"),
                                seen=int(jax.device_get(state.seen)))
-    if ckpt is not None:
-        ckpt.save(processed_batches, state, wait=True)
-        ckpt.close()
-    return {"state": state, "best_acc": best_acc, "history": history}
+    return processed_batches, best_acc
 
 
 def _drain_stats(pending, history, epoch):

@@ -28,8 +28,42 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["DecodedGrid", "decode_grid", "best_boxes", "best_box_for_class",
+__all__ = ["DecodedGrid", "split_activate", "decode_grid", "best_boxes",
+           "best_box_for_class", "best_boxes_per_class",
            "multi_region_boxes_np", "bbox_iou", "bbox_ious", "nms"]
+
+
+def split_activate(output: jax.Array, num_keypoints: int, num_classes: int,
+                   num_anchors: int):
+    """Shared head split + activation for decode AND the loss.
+
+    Layout contract (single source of truth): NHWC head → anchor-major
+    flattened cells ``s = a·H·W + cy·W + cx``; sigmoid on the centroid
+    keypoint (k=0) and objectness, raw offsets for the 8 corners
+    (reference: ``region_loss.py:109-116`` / ``utils.py:236-248``).
+
+    Returns (xs, ys, conf, cls_logits, grid_x, grid_y):
+      xs/ys (B,S,K) in-cell offsets, conf (B,S), cls_logits (B,S,C),
+      grid_x/grid_y (S,) cell coordinates.
+    """
+    B, H, W, D = output.shape
+    K, C, nA = num_keypoints, num_classes, num_anchors
+    assert D == nA * (2 * K + 1 + C), (D, nA, K, C)
+    out = output.reshape(B, H, W, nA, 2 * K + 1 + C)
+    out = out.transpose(0, 3, 1, 2, 4).reshape(B, nA * H * W, 2 * K + 1 + C)
+
+    kp = out[..., :2 * K].reshape(B, nA * H * W, K, 2)
+    x0y0 = jax.nn.sigmoid(kp[..., 0:1, :])
+    kp = jnp.concatenate([x0y0, kp[..., 1:, :]], axis=-2)
+    xs, ys = kp[..., 0], kp[..., 1]
+    conf = jax.nn.sigmoid(out[..., 2 * K])
+    cls_logits = out[..., 2 * K + 1:]
+
+    gx = jnp.tile(jnp.arange(W, dtype=output.dtype)[None, :], (H, 1)).reshape(-1)
+    gy = jnp.tile(jnp.arange(H, dtype=output.dtype)[:, None], (1, W)).reshape(-1)
+    grid_x = jnp.tile(gx, (nA,))
+    grid_y = jnp.tile(gy, (nA,))
+    return xs, ys, conf, cls_logits, grid_x, grid_y
 
 
 class DecodedGrid(NamedTuple):
@@ -48,27 +82,14 @@ def decode_grid(output: jax.Array, num_keypoints: int, num_classes: int,
     the 8 corner keypoints, softmax over classes; all plus the cell's grid
     coordinate, normalized by grid W/H.
     """
-    B, H, W, D = output.shape
+    B, H, W, _ = output.shape
     K, C, nA = num_keypoints, num_classes, num_anchors
-    assert D == nA * (2 * K + 1 + C), (D, nA, K, C)
-    out = output.reshape(B, H, W, nA, 2 * K + 1 + C)
-    # (B, nA, H, W, D') then flatten cells anchor-major
-    out = out.transpose(0, 3, 1, 2, 4).reshape(B, nA * H * W, 2 * K + 1 + C)
-
-    gx = jnp.tile(jnp.arange(W, dtype=output.dtype)[None, :], (H, 1)).reshape(-1)
-    gy = jnp.tile(jnp.arange(H, dtype=output.dtype)[:, None], (1, W)).reshape(-1)
-    grid_x = jnp.tile(gx, (nA,))  # (S,)
-    grid_y = jnp.tile(gy, (nA,))
-
-    kp = out[..., : 2 * K].reshape(B, nA * H * W, K, 2)
-    x0y0 = jax.nn.sigmoid(kp[..., 0:1, :])
-    kp = jnp.concatenate([x0y0, kp[..., 1:, :]], axis=-2)
-    xs = (kp[..., 0] + grid_x[None, :, None]) / W   # (B, S, K)
-    ys = (kp[..., 1] + grid_y[None, :, None]) / H
-    corners = jnp.stack([xs, ys], axis=-1).reshape(B, nA * H * W, 2 * K)
-
-    det_conf = jax.nn.sigmoid(out[..., 2 * K])
-    cls_probs = jax.nn.softmax(out[..., 2 * K + 1:], axis=-1) if C > 0 else \
+    xs, ys, det_conf, cls_logits, grid_x, grid_y = split_activate(
+        output, K, C, nA)
+    px = (xs + grid_x[None, :, None]) / W   # (B, S, K)
+    py = (ys + grid_y[None, :, None]) / H
+    corners = jnp.stack([px, py], axis=-1).reshape(B, nA * H * W, 2 * K)
+    cls_probs = jax.nn.softmax(cls_logits, axis=-1) if C > 0 else \
         jnp.ones((B, nA * H * W, 0), output.dtype)
     return DecodedGrid(corners, det_conf, cls_probs)
 
@@ -150,6 +171,23 @@ def best_box_for_class(decoded: DecodedGrid, cls: jax.Array, conf_thresh: float,
         out_clsconf[:, None],
         cls.astype(corners.dtype)[:, None],
     ], axis=-1)
+
+
+def best_boxes_per_class(decoded: DecodedGrid, conf_thresh: float,
+                         only_objectness: bool = False) -> jax.Array:
+    """Class-picked boxes for EVERY class at once: (B, C, 2K+3).
+
+    Same per-class semantics as :func:`best_box_for_class` (threshold+argmax
+    with the reference's sequential joint-max fallback), vmapped over the
+    class axis so multi-GT eval can pair each ground truth with the box of
+    its own class (reference: ``valid_multi.py:118-123`` matches
+    ``boxes[j][2K+2] == truths[k][0]`` per GT)."""
+    C = decoded.cls_probs.shape[-1]
+    cls_ids = jnp.arange(C, dtype=jnp.int32)
+    boxes = jax.vmap(
+        lambda c: best_box_for_class(decoded, c, conf_thresh,
+                                     only_objectness))(cls_ids)
+    return boxes.transpose(1, 0, 2)   # (C, B, 2K+3) → (B, C, 2K+3)
 
 
 def bbox_iou(box1, box2, x1y1x2y2: bool = False) -> float:

@@ -21,7 +21,7 @@ Loss algebra preserved exactly:
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -47,6 +47,9 @@ class RegionLossConfig:
     im_width: float = 640.0
     im_height: float = 480.0
     max_num_gt: int = 50
+    # None → auto (Pallas on single-chip TPU).  Set False under a sharded
+    # mesh: Mosaic custom calls have no GSPMD partitioning rule.
+    use_pallas: Optional[bool] = None
 
     @classmethod
     def single(cls, pretrain_num_epochs: int = 15, **kw) -> "RegionLossConfig":
@@ -67,7 +70,9 @@ class RegionLossConfig:
 
 
 def activate_head(output: jax.Array, K: int, C: int, nA: int):
-    """Split + activate the raw NHWC head.
+    """Split + activate the raw NHWC head (via the shared
+    :func:`~singleshotpose_tpu.ops.decode.split_activate`, keeping the
+    loss and the inference decode on one layout contract).
 
     Returns (xs, ys, conf, cls_logits, pred_corners):
       xs/ys (B,S,K) in-cell offsets (sigmoid on keypoint 0 only),
@@ -77,22 +82,11 @@ def activate_head(output: jax.Array, K: int, C: int, nA: int):
       (matches the reference's detached pred box build,
       ``region_loss.py:118-127``).
     """
-    B, H, W, D = output.shape
-    assert D == nA * (2 * K + 1 + C)
-    out = output.reshape(B, H, W, nA, 2 * K + 1 + C)
-    out = out.transpose(0, 3, 1, 2, 4).reshape(B, nA * H * W, 2 * K + 1 + C)
+    from .decode import split_activate
 
-    kp = out[..., :2 * K].reshape(B, nA * H * W, K, 2)
-    x0y0 = jax.nn.sigmoid(kp[..., 0:1, :])
-    kp = jnp.concatenate([x0y0, kp[..., 1:, :]], axis=-2)
-    xs, ys = kp[..., 0], kp[..., 1]
-    conf = jax.nn.sigmoid(out[..., 2 * K])
-    cls_logits = out[..., 2 * K + 1:]
-
-    gx = jnp.tile(jnp.arange(W, dtype=output.dtype)[None, :], (H, 1)).reshape(-1)
-    gy = jnp.tile(jnp.arange(H, dtype=output.dtype)[:, None], (1, W)).reshape(-1)
-    grid_x = jnp.tile(gx, (nA,))
-    grid_y = jnp.tile(gy, (nA,))
+    B, H, W, _ = output.shape
+    xs, ys, conf, cls_logits, grid_x, grid_y = split_activate(
+        output, K, C, nA)
     px = (xs + grid_x[None, :, None]) / W
     py = (ys + grid_y[None, :, None]) / H
     pred_corners = jax.lax.stop_gradient(
@@ -122,7 +116,7 @@ def region_loss(output: jax.Array, target: jax.Array, epoch,
         noobject_scale=cfg.noobject_scale, object_scale=cfg.object_scale,
         sil_thresh=cfg.sil_thresh, anchors=cfg.anchors,
         im_width=cfg.im_width, im_height=cfg.im_height,
-        max_num_gt=cfg.max_num_gt)
+        max_num_gt=cfg.max_num_gt, use_pallas=cfg.use_pallas)
 
     cm = bt.coord_mask[:, :, None]
     loss_x = cfg.coord_scale * 0.5 * jnp.sum(cm * jnp.square(xs - bt.txs))

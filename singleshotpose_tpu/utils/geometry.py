@@ -64,7 +64,6 @@ def compute_projection(points_3D, transformation, internal_calibration):
     """K [R|t] X with perspective divide → (2, N) (reference: ``utils.py:40-45``).
 
     Works for numpy or jax arrays (pure ops)."""
-    xp = jnp if (jnp is not None and not isinstance(points_3D, np.ndarray)) else np
     cam = internal_calibration @ transformation @ points_3D
     return cam[:2] / cam[2:3]
 
@@ -75,7 +74,9 @@ def compute_transformation(points_3D, transformation):
 
 
 def calc_angular_distance(gt_rot, pr_rot):
-    """Geodesic angle (degrees) between two rotations (reference: ``utils.py:31-35``)."""
+    """Geodesic angle (degrees) between two rotations (reference: ``utils.py:31-35``).
+
+    numpy or jax arrays (dispatch on the rotation's type)."""
     xp = jnp if (jnp is not None and not isinstance(gt_rot, np.ndarray)) else np
     rot_diff = gt_rot @ xp.swapaxes(pr_rot, -1, -2)
     trace = xp.trace(rot_diff) if rot_diff.ndim == 2 else \
@@ -128,7 +129,6 @@ def fix_corner_order(corners2D_gt: np.ndarray) -> np.ndarray:
 
 def compute_2d_bb(pts):
     """[cx, cy, w, h] of a (2,N) point set (reference: ``utils.py:120-131``)."""
-    xp = jnp if (jnp is not None and not isinstance(pts, np.ndarray)) else np
     min_x, max_x = pts[0, :].min(), pts[0, :].max()
     min_y, max_y = pts[1, :].min(), pts[1, :].max()
     return [(max_x + min_x) / 2.0, (max_y + min_y) / 2.0, max_x - min_x, max_y - min_y]
