@@ -54,6 +54,10 @@ def cmd_train(argv: Sequence[str]) -> int:
                    help="resume from latest Orbax checkpoint in --orbax_dir")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="dump a jax.profiler trace of steps 5-10 here")
+    p.add_argument("--cache_decoded", action="store_true",
+                   help="RAM-cache decoded images across epochs")
+    p.add_argument("--loader_backend", type=str, default="auto",
+                   choices=["auto", "python", "native", "device"])
     args = p.parse_args(argv)
     _require_file(args.datacfg, "data config")
     _require_file(args.initweightfile or None, "initial weight file")
@@ -67,7 +71,9 @@ def cmd_train(argv: Sequence[str]) -> int:
     rc = TrainRunConfig(bg_dir=args.bg_dir,
                         max_epochs_override=args.max_epochs,
                         mesh=mesh, orbax_dir=args.orbax_dir,
-                        resume=args.resume, profile_dir=args.profile_dir)
+                        resume=args.resume, profile_dir=args.profile_dir,
+                        cache_decoded=args.cache_decoded,
+                        loader_backend=args.loader_backend)
     result = run_training(args.datacfg, _resolve_model(args.modelcfg),
                           args.initweightfile or None,
                           args.pretrain_num_epochs, rc)

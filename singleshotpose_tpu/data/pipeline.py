@@ -115,7 +115,8 @@ class PoseDataset:
                  aug: AugmentConfig = AugmentConfig(),
                  num_keypoints: int = 9, max_num_gt: int = 50,
                  label_path_fn: Callable[[str], str] = label_path_from_image,
-                 synthesizer: Optional[Callable] = None):
+                 synthesizer: Optional[Callable] = None,
+                 cache_decoded: bool = False):
         with open(listfile) as f:
             self.lines = [ln.strip() for ln in f if ln.strip()]
         self.train = train
@@ -125,6 +126,22 @@ class PoseDataset:
         self.max_num_gt = max_num_gt
         self.label_path_fn = label_path_fn
         self.synthesizer = synthesizer  # multi-object scene synthesis hook
+        # RAM cache of decoded image/mask arrays: LINEMOD-sized train sets
+        # (~200-1200 640×480 frames ≈ 0.2-1.1 GB) decode once, then every
+        # later epoch runs at augment speed — the decisive fix for weak
+        # hosts feeding a fast chip (pairs with the device-augment backend)
+        self.cache_decoded = cache_decoded
+        self._img_cache: dict = {}
+
+    def _decode_cached(self, path: str, decode: Callable[[str], np.ndarray]
+                       ) -> np.ndarray:
+        if not self.cache_decoded:
+            return decode(path)
+        arr = self._img_cache.get(path)
+        if arr is None:
+            arr = decode(path)
+            self._img_cache[path] = arr
+        return arr
 
     def __len__(self) -> int:
         return len(self.lines)
@@ -206,8 +223,8 @@ class PoseDataset:
         if self.synthesizer is not None:
             img, label = self.synthesizer(self, imgpath, shape, rng)
             return img.astype(np.float32) / 255.0, label
-        img = load_image(imgpath)
-        mask = load_image(mask_path_from_image(imgpath))
+        img = self._decode_cached(imgpath, load_image)
+        mask = self._decode_cached(mask_path_from_image(imgpath), load_image)
         if self.bg_file_names:
             bg = load_image(self.bg_file_names[rng.randint(len(self.bg_file_names))])
             img = augment.change_background(img, mask, bg)
@@ -348,8 +365,9 @@ class Loader:
 
         def one(i):
             imgpath = self.ds.lines[int(i)]
-            img = decode(imgpath)
-            mask = decode(mask_path_from_image(imgpath))
+            img = self.ds._decode_cached(imgpath, decode)
+            mask = self.ds._decode_cached(mask_path_from_image(imgpath),
+                                          decode)
             return img, mask
 
         work = list(idxs)

@@ -367,6 +367,8 @@ class TrainRunConfig:
     resume: bool = False               # restore latest Orbax state
     profile_dir: Optional[str] = None  # jax.profiler trace of a few steps
     profile_steps: Tuple[int, int] = (5, 10)
+    cache_decoded: bool = False        # RAM-cache decoded images across epochs
+    loader_backend: str = "auto"       # auto | python | native | device
 
 
 def run_training(datacfg: str, modelcfg: Union[str, DarknetSpec],
@@ -440,9 +442,11 @@ def run_training(datacfg: str, modelcfg: Union[str, DarknetSpec],
 
     bg_files = get_all_files(rc.bg_dir) if os.path.isdir(rc.bg_dir) else []
     ds = PoseDataset(dcfg.train, train=True, bg_file_names=bg_files,
-                     num_keypoints=spec.num_keypoints)
+                     num_keypoints=spec.num_keypoints,
+                     cache_decoded=rc.cache_decoded)
     loader = Loader(ds, batch_size, schedule=SINGLE_SCHEDULE,
-                    seen=seen0, num_workers=rc.num_workers, seed=rc.seed)
+                    seen=seen0, num_workers=rc.num_workers, seed=rc.seed,
+                    backend=rc.loader_backend)
 
     history: Dict[str, List] = {"training_iters": [], "training_losses": [],
                                 "testing_iters": [], "testing_accuracies": [],

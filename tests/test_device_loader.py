@@ -105,3 +105,27 @@ def test_pretrain_head_transfer():
         # head fresh-initialized at the multi shape
         assert mp["conv_23"]["w"].shape[-1] == 160
         assert header.seen == 42
+
+
+def test_cache_decoded_hits_once(tiny_ds, monkeypatch):
+    """With cache_decoded, each image/mask file is decoded exactly once
+    across epochs."""
+    import singleshotpose_tpu.data.pipeline as pl
+    lst, bgs = tiny_ds
+    calls = []
+    real = pl.load_image
+
+    def counting(path):
+        calls.append(path)
+        return real(path)
+
+    monkeypatch.setattr(pl, "load_image", counting)
+    ds = PoseDataset(lst, train=True, bg_file_names=bgs, cache_decoded=True)
+    ld = Loader(ds, batch_size=4, fixed_shape=(64, 64), num_workers=0,
+                seed=0, backend="python")
+    for _ in range(3):             # 3 epochs
+        for _ in ld:
+            pass
+    img_mask_calls = [c for c in calls if "bg" not in c]
+    assert len(set(img_mask_calls)) == 8          # 4 imgs + 4 masks
+    assert len(img_mask_calls) == 8               # each decoded once
