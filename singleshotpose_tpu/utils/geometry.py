@@ -17,6 +17,8 @@ except Exception:  # pragma: no cover
     jnp = None
 
 __all__ = [
+    "get_2d_bb",
+    "scale_bboxes",
     "get_camera_intrinsic",
     "get_3D_corners",
     "compute_projection",
@@ -144,3 +146,23 @@ def compute_2d_bb_from_orig_pix(pts, size):
     w, h = max_x - min_x, max_y - min_y
     cx, cy = (max_x + min_x) / 2.0, (max_y + min_y) / 2.0
     return [cx * size, cy * size, w * size, h * size]
+
+def get_2d_bb(box, size):
+    """[cx·size, cy·size, w·size, h·size] from a flat keypoint list whose
+    first pair is the centroid (reference: ``utils.py:102-112``)."""
+    pts = np.reshape(np.asarray(box, dtype=np.float64), [-1, 2])
+    w = pts[:, 0].max() - pts[:, 0].min()
+    h = pts[:, 1].max() - pts[:, 1].min()
+    return [float(box[0]) * size, float(box[1]) * size, w * size, h * size]
+
+
+def scale_bboxes(bboxes, width, height):
+    """Scale normalized [x, y, w, h, ...] boxes to pixels
+    (reference: ``utils.py:360-368``); input is not mutated."""
+    out = [list(b) for b in bboxes]
+    for b in out:
+        b[0] *= width
+        b[1] *= height
+        b[2] *= width
+        b[3] *= height
+    return out

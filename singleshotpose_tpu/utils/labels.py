@@ -15,6 +15,7 @@ from typing import Optional
 import numpy as np
 
 __all__ = [
+    "get_image_size",
     "num_label_floats",
     "label_path_from_image",
     "mask_path_from_image",
@@ -119,3 +120,10 @@ def file_lines(path: str) -> int:
 def load_class_names(namesfile: str):
     with open(namesfile, "r") as fp:
         return [line.rstrip() for line in fp]
+
+def get_image_size(fname: str):
+    """(width, height) from the image header without a full decode
+    (reference: ``utils.py:381-414``; PIL lazy-open reads only the header)."""
+    from PIL import Image
+    with Image.open(fname) as im:
+        return im.size
