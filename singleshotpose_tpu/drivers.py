@@ -14,6 +14,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import time
+import weakref
 from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
@@ -25,6 +26,7 @@ from . import weights as W
 from .config import DataConfig, data_config_from_options, parse_cfg, read_data_cfg
 from .data.pipeline import (MULTI_SCHEDULE, SINGLE_SCHEDULE, AugmentConfig,
                             Loader, PoseDataset)
+from .data.prefetch import prefetch
 from .evaluate import (EvalContext, PoseErrors, accuracy_summary,
                        gt_corner_boxes, multi_accuracy_table, pose_metrics)
 from .models.darknet import DarknetSpec, fold_batchnorm
@@ -90,8 +92,6 @@ def loss_config_from_spec(spec: DarknetSpec, *, pretrain_num_epochs: int,
 # jitted eval forwards, cached per (spec identity, compute dtype) so repeated
 # in-training evals and multi-object sweeps reuse one compiled executable
 # instead of retracing a fresh closure every call
-import weakref
-
 _FWD_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
@@ -455,9 +455,10 @@ def run_training(datacfg: str, modelcfg: Union[str, DarknetSpec],
     best_acc = -float("inf")
 
     pb_box = [processed_batches]
+    state_box = [state]
     try:
         processed_batches, best_acc = _train_epochs(
-            spec, state_box := [state], loader, step, net, steps, scales,
+            spec, state_box, loader, step, net, steps, scales,
             batch_size, nbatches, nsamples, init_epoch, max_epochs,
             pb_box, rc, ckpt, datacfg, backupdir, history, best_acc)
         state = state_box[0]
@@ -492,7 +493,6 @@ def _train_epochs(spec, state_box, loader, step, net, steps, scales,
         lr = schedule_lr(net.learning_rate, processed_batches, steps, scales)
         _log(f"epoch {epoch}, processed {epoch * nsamples} samples, lr {lr:f}")
         pending = []  # async stats fetch: (iter, device stats)
-        from .data.prefetch import prefetch
         for bidx, (images, labels) in enumerate(prefetch(loader)):
             lr = schedule_lr(net.learning_rate, processed_batches, steps,
                              scales)
@@ -631,15 +631,16 @@ def run_training_multi(datacfg: str, modelcfg: Union[str, DarknetSpec],
                                 "testing_iters": [], "testing_accuracies": []}
     best_acc = -float("inf")
 
+    state_box = [state]
     try:
         for epoch in range(init_epoch, max_epochs):
             processed_batches, best_acc = _multi_epoch_body(
-                epoch, spec, state_box := [state], loader, step, net, steps,
+                epoch, spec, state_box, loader, step, net, steps,
                 scales, batch_size, nbatches, processed_batches, rc, ckpt,
                 eval_datacfgs, backupdir, history, best_acc)
             state = state_box[0]
     except BaseException:
-        state = state_box[0] if 'state_box' in dir() else state
+        state = state_box[0]
         if ckpt is not None:
             _log("[multi] emergency checkpoint on failure")
             try:
@@ -658,52 +659,50 @@ def _multi_epoch_body(epoch, spec, state_box, loader, step, net, steps,
                       scales, batch_size, nbatches, processed_batches, rc,
                       ckpt, eval_datacfgs, backupdir, history, best_acc):
     state = state_box[0]
-    if True:
-        lr = schedule_lr(net.learning_rate, processed_batches, steps, scales)
-        _log(f"[multi] epoch {epoch}, lr {lr:f}")
-        pending = []
-        from .data.prefetch import prefetch
-        for bidx, (images, labels) in enumerate(prefetch(loader)):
-            lr = schedule_lr(net.learning_rate, processed_batches, steps,
-                             scales)
-            state, stats = step(state, jnp.asarray(images),
-                                jnp.asarray(labels),
-                                np.float32(lr / batch_size), np.int32(epoch))
-            state_box[0] = state
-            pending.append((epoch * int(np.ceil(nbatches)) + bidx, stats))
-            processed_batches += 1
-            if len(pending) >= rc.log_every:
-                _drain_stats(pending, history, epoch)
-                pending = []
-        _drain_stats(pending, history, epoch)
+    lr = schedule_lr(net.learning_rate, processed_batches, steps, scales)
+    _log(f"[multi] epoch {epoch}, lr {lr:f}")
+    pending = []
+    for bidx, (images, labels) in enumerate(prefetch(loader)):
+        lr = schedule_lr(net.learning_rate, processed_batches, steps,
+                         scales)
+        state, stats = step(state, jnp.asarray(images),
+                            jnp.asarray(labels),
+                            np.float32(lr / batch_size), np.int32(epoch))
+        state_box[0] = state
+        pending.append((epoch * int(np.ceil(nbatches)) + bidx, stats))
+        processed_batches += 1
+        if len(pending) >= rc.log_every:
+            _drain_stats(pending, history, epoch)
+            pending = []
+    _drain_stats(pending, history, epoch)
 
-        if ckpt is not None and rc.orbax_every_epochs and \
-                epoch % rc.orbax_every_epochs == 0:
-            ckpt.save(processed_batches, state)
+    if ckpt is not None and rc.orbax_every_epochs and \
+            epoch % rc.orbax_every_epochs == 0:
+        ckpt.save(processed_batches, state)
 
-        if eval_datacfgs and (epoch % rc.eval_every == 0) \
-                and (epoch > rc.eval_after):
-            accs = []
-            for dc in eval_datacfgs:
-                res = run_validation_multi(
-                    dc, spec, params=state.params,
-                    batch_stats=state.batch_stats,
-                    batch_size=rc.eval_batch_size,
-                    num_workers=rc.num_workers,
-                    compute_dtype=rc.compute_dtype)
-                accs.append(res["acc_table"][50])   # reference records acc@50
-            mean_acc = float(np.mean(accs)) if accs else float("nan")
-            history["testing_iters"].append(processed_batches)
-            history["testing_accuracies"].append(mean_acc)
-            np.savez(os.path.join(backupdir, "costs.npz"),
-                     **{k: np.asarray(v) for k, v in history.items()})
-            if mean_acc > best_acc:
-                best_acc = mean_acc
-                _log("[multi] best model so far!")
-                W.save_weights(spec, jax.device_get(state.params),
-                               jax.device_get(state.batch_stats),
-                               os.path.join(backupdir, "model.weights"),
-                               seen=int(jax.device_get(state.seen)))
+    if eval_datacfgs and (epoch % rc.eval_every == 0) \
+            and (epoch > rc.eval_after):
+        accs = []
+        for dc in eval_datacfgs:
+            res = run_validation_multi(
+                dc, spec, params=state.params,
+                batch_stats=state.batch_stats,
+                batch_size=rc.eval_batch_size,
+                num_workers=rc.num_workers,
+                compute_dtype=rc.compute_dtype)
+            accs.append(res["acc_table"][50])   # reference records acc@50
+        mean_acc = float(np.mean(accs)) if accs else float("nan")
+        history["testing_iters"].append(processed_batches)
+        history["testing_accuracies"].append(mean_acc)
+        np.savez(os.path.join(backupdir, "costs.npz"),
+                 **{k: np.asarray(v) for k, v in history.items()})
+        if mean_acc > best_acc:
+            best_acc = mean_acc
+            _log("[multi] best model so far!")
+            W.save_weights(spec, jax.device_get(state.params),
+                           jax.device_get(state.batch_stats),
+                           os.path.join(backupdir, "model.weights"),
+                           seen=int(jax.device_get(state.seen)))
     return processed_batches, best_acc
 
 

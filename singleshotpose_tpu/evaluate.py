@@ -24,9 +24,8 @@ import numpy as np
 
 from .config import DataConfig
 from .ops.pnp import pnp_batched
-from .utils.geometry import (calc_angular_distance, calc_pts_diameter,
-                             fix_corner_order, get_3D_corners,
-                             get_camera_intrinsic)
+from .utils.geometry import (calc_pts_diameter, fix_corner_order,
+                             get_3D_corners, get_camera_intrinsic)
 from .utils.meshply import MeshPly
 
 __all__ = ["EvalContext", "PoseErrors", "pose_metrics", "accuracy_summary",
@@ -131,8 +130,10 @@ def pose_metrics(corners2d_gt: np.ndarray, corners2d_pr: np.ndarray,
     t_gt, t_pr = t[:B], t[B:]
 
     err_trans = np.linalg.norm(t_gt - t_pr, axis=1)
-    err_angle = np.array([calc_angular_distance(R_gt[i], R_pr[i])
-                          for i in range(B)])
+    # batched geodesic angle: tr(Rg Rp^T) = Σ Rg⊙Rp (calc_angular_distance
+    # vectorized — the per-frame python loop costs at 10k+ eval frames)
+    trace = np.einsum("bij,bij->b", R_gt, R_pr)
+    err_angle = np.degrees(np.arccos(np.clip((trace - 1.0) / 2.0, -1.0, 1.0)))
 
     # vectorized projection of all mesh vertices under both poses
     Rt_gt = np.concatenate([R_gt, t_gt[:, :, None]], axis=2)   # (B,3,4)

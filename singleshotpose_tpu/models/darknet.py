@@ -254,6 +254,57 @@ class DarknetSpec:
 
     # -- forward -------------------------------------------------------------
 
+    @staticmethod
+    def _activate(x: jax.Array, activation: str) -> jax.Array:
+        if activation == "leaky":
+            return L.leaky_relu(x)
+        if activation == "relu":
+            return jnp.maximum(x, 0)
+        return x
+
+    def _walk(self, x: jax.Array, conv_fn, params) -> jax.Array:
+        """Shared block interpreter: ``conv_fn(spec, x)`` supplies the
+        conv+norm+bias body; every other layer type has one implementation
+        here (route liveness keeps only outputs a later layer re-reads)."""
+        cache: Dict[int, jax.Array] = {}
+        for i, spec in enumerate(self.layers):
+            if isinstance(spec, ConvSpec):
+                x = self._activate(conv_fn(spec, x), spec.activation)
+            elif isinstance(spec, MaxPoolSpec):
+                x = L.max_pool(x, spec.size, spec.stride) if spec.stride > 1 \
+                    else L.max_pool_stride1(x)
+            elif isinstance(spec, ReorgSpec):
+                x = L.reorg(x, spec.stride)
+            elif isinstance(spec, RouteSpec):
+                srcs = [cache[j] for j in spec.layers]
+                x = srcs[0] if len(srcs) == 1 else jnp.concatenate(srcs, axis=-1)
+            elif isinstance(spec, ShortcutSpec):
+                x = self._activate(cache[spec.from_layer] + cache[i - 1],
+                                   spec.activation)
+            elif isinstance(spec, AvgPoolSpec):
+                x = L.global_avg_pool(x)
+            elif isinstance(spec, SoftmaxSpec):
+                x = jax.nn.softmax(x, axis=-1)
+            elif isinstance(spec, ConnectedSpec):
+                p = params[spec.name]
+                x = self._activate(x.reshape(x.shape[0], -1) @ p["w"] + p["b"],
+                                   spec.activation)
+            elif isinstance(spec, RegionSpec):
+                continue  # loss-carrier block: no-op at forward
+            if i in self._live:
+                cache[i] = x
+        return x
+
+    @staticmethod
+    def _conv(spec: ConvSpec, x: jax.Array, w: jax.Array, cd) -> jax.Array:
+        """Convolution with the compute-dtype policy: bf16 in/out when ``cd``
+        is set (XLA fuses the f32 epilogue), full f32 otherwise."""
+        if cd is not None:
+            w = w.astype(cd)
+            x = x.astype(cd)
+        return L.conv2d(x, w, spec.stride, spec.pad,
+                        preferred_dtype=None if cd is not None else jnp.float32)
+
     def apply(self, params, x: jax.Array, *, batch_stats=None, train: bool = False,
               compute_dtype=None):
         """Run the network. ``x`` is NHWC float (0..1 RGB).
@@ -270,124 +321,44 @@ class DarknetSpec:
         if train and batch_stats is None:
             raise ValueError("train=True requires batch_stats")
         new_stats: Dict[str, Dict[str, jax.Array]] = {}
-        cache: Dict[int, jax.Array] = {}
-        cd = compute_dtype
 
-        for i, spec in enumerate(self.layers):
-            if isinstance(spec, ConvSpec):
-                p = params[spec.name]
-                w = p["w"]
-                xin = x
-                if cd is not None:
-                    w = w.astype(cd)
-                    xin = xin.astype(cd)
-                x = L.conv2d(xin, w, spec.stride, spec.pad,
-                             preferred_dtype=None if cd is not None else jnp.float32)
-                if spec.batch_normalize:
-                    if train:
-                        st = batch_stats[spec.name]
-                        x, nm, nv = L.batch_norm_train(
-                            x, p["scale"], p["bias"], st["mean"], st["var"])
-                        new_stats[spec.name] = {"mean": nm, "var": nv}
-                    else:
-                        st = batch_stats[spec.name] if batch_stats else None
-                        if st is None:
-                            raise ValueError("inference requires batch_stats (running BN)")
-                        x = L.batch_norm(x, p["scale"], p["bias"], st["mean"], st["var"])
+        def conv_fn(spec: ConvSpec, x):
+            p = params[spec.name]
+            x = self._conv(spec, x, p["w"], compute_dtype)
+            if spec.batch_normalize:
+                if train:
+                    st = batch_stats[spec.name]
+                    x, nm, nv = L.batch_norm_train(
+                        x, p["scale"], p["bias"], st["mean"], st["var"])
+                    new_stats[spec.name] = {"mean": nm, "var": nv}
                 else:
-                    x = x + p["b"]
-                if spec.activation == "leaky":
-                    x = L.leaky_relu(x)
-                elif spec.activation == "relu":
-                    x = jnp.maximum(x, 0)
-            elif isinstance(spec, MaxPoolSpec):
-                x = L.max_pool(x, spec.size, spec.stride) if spec.stride > 1 \
-                    else L.max_pool_stride1(x)
-            elif isinstance(spec, ReorgSpec):
-                x = L.reorg(x, spec.stride)
-            elif isinstance(spec, RouteSpec):
-                srcs = [cache[j] for j in spec.layers]
-                x = srcs[0] if len(srcs) == 1 else jnp.concatenate(srcs, axis=-1)
-            elif isinstance(spec, ShortcutSpec):
-                x = cache[spec.from_layer] + cache[i - 1]
-                if spec.activation == "leaky":
-                    x = L.leaky_relu(x)
-                elif spec.activation == "relu":
-                    x = jnp.maximum(x, 0)
-            elif isinstance(spec, AvgPoolSpec):
-                x = L.global_avg_pool(x)
-            elif isinstance(spec, SoftmaxSpec):
-                x = jax.nn.softmax(x, axis=-1)
-            elif isinstance(spec, ConnectedSpec):
-                p = params[spec.name]
-                x = x.reshape(x.shape[0], -1) @ p["w"] + p["b"]
-                if spec.activation == "leaky":
-                    x = L.leaky_relu(x)
-                elif spec.activation == "relu":
-                    x = jnp.maximum(x, 0)
-            elif isinstance(spec, RegionSpec):
-                continue  # loss-carrier block: no-op at forward
-            if i in self._live:
-                cache[i] = x
+                    if batch_stats is None:
+                        raise ValueError(
+                            "inference requires batch_stats (running BN)")
+                    st = batch_stats[spec.name]
+                    x = L.batch_norm(x, p["scale"], p["bias"], st["mean"],
+                                     st["var"])
+            else:
+                x = x + p["b"]
+            return x
 
+        out = self._walk(x, conv_fn, params)
         if train:
             # carry forward unchanged stats for completeness
             for k, v in batch_stats.items():
                 new_stats.setdefault(k, v)
-            return x, new_stats
-        return x
+            return out, new_stats
+        return out
 
     def apply_folded(self, folded_params, x: jax.Array, *, compute_dtype=None):
         """Inference with BN pre-folded into conv weight/bias (see
         :func:`fold_batchnorm`) — the fastest serving path: one conv + bias +
         leaky per block, fully fusible by XLA."""
-        cache: Dict[int, jax.Array] = {}
-        cd = compute_dtype
-        for i, spec in enumerate(self.layers):
-            if isinstance(spec, ConvSpec):
-                p = folded_params[spec.name]
-                w = p["w"]
-                xin = x
-                if cd is not None:
-                    w = w.astype(cd)
-                    xin = xin.astype(cd)
-                x = L.conv2d(xin, w, spec.stride, spec.pad,
-                             preferred_dtype=None if cd is not None else jnp.float32)
-                x = x + p["b"]
-                if spec.activation == "leaky":
-                    x = L.leaky_relu(x)
-                elif spec.activation == "relu":
-                    x = jnp.maximum(x, 0)
-            elif isinstance(spec, MaxPoolSpec):
-                x = L.max_pool(x, spec.size, spec.stride) if spec.stride > 1 \
-                    else L.max_pool_stride1(x)
-            elif isinstance(spec, ReorgSpec):
-                x = L.reorg(x, spec.stride)
-            elif isinstance(spec, RouteSpec):
-                srcs = [cache[j] for j in spec.layers]
-                x = srcs[0] if len(srcs) == 1 else jnp.concatenate(srcs, axis=-1)
-            elif isinstance(spec, ShortcutSpec):
-                x = cache[spec.from_layer] + cache[i - 1]
-                if spec.activation == "leaky":
-                    x = L.leaky_relu(x)
-                elif spec.activation == "relu":
-                    x = jnp.maximum(x, 0)
-            elif isinstance(spec, AvgPoolSpec):
-                x = L.global_avg_pool(x)
-            elif isinstance(spec, SoftmaxSpec):
-                x = jax.nn.softmax(x, axis=-1)
-            elif isinstance(spec, ConnectedSpec):
-                p = folded_params[spec.name]
-                x = x.reshape(x.shape[0], -1) @ p["w"] + p["b"]
-                if spec.activation == "leaky":
-                    x = L.leaky_relu(x)
-                elif spec.activation == "relu":
-                    x = jnp.maximum(x, 0)
-            elif isinstance(spec, RegionSpec):
-                continue
-            if i in self._live:
-                cache[i] = x
-        return x
+        def conv_fn(spec: ConvSpec, x):
+            p = folded_params[spec.name]
+            return self._conv(spec, x, p["w"], compute_dtype) + p["b"]
+
+        return self._walk(x, conv_fn, folded_params)
 
     def format_network(self) -> str:
         from ..config import format_cfg_table

@@ -94,6 +94,14 @@ def decode_grid(output: jax.Array, num_keypoints: int, num_classes: int,
     return DecodedGrid(corners, det_conf, cls_probs)
 
 
+def _cell_taker(idx: jax.Array):
+    """Gather one cell per image: (B,S,...) → (B,...) at idx (B,)."""
+    def take(a):
+        return jnp.take_along_axis(
+            a, idx.reshape(idx.shape + (1,) * (a.ndim - 1)), axis=1)[:, 0]
+    return take
+
+
 def best_boxes(decoded: DecodedGrid, only_objectness: bool = True) -> jax.Array:
     """Single-object selection: per image, the max-confidence cell.
 
@@ -107,8 +115,7 @@ def best_boxes(decoded: DecodedGrid, only_objectness: bool = True) -> jax.Array:
         jnp.zeros(det_conf.shape, jnp.int32)
     score = det_conf if only_objectness else det_conf * cls_max
     idx = jnp.argmax(score, axis=-1)  # first max wins, matching scan order
-    take = lambda a: jnp.take_along_axis(
-        a, idx.reshape(idx.shape + (1,) * (a.ndim - 1)), axis=1)[:, 0]
+    take = _cell_taker(idx)
     return jnp.concatenate([
         take(corners),
         take(det_conf)[:, None],
@@ -161,8 +168,7 @@ def best_box_for_class(decoded: DecodedGrid, cls: jax.Array, conf_thresh: float,
     fb_idx, fb_det, fb_cls = jax.vmap(run_fold)(det_conf, cls_p)
 
     idx = jnp.where(any_keep, kept_idx, fb_idx)
-    take = lambda a: jnp.take_along_axis(
-        a, idx.reshape(idx.shape + (1,) * (a.ndim - 1)), axis=1)[:, 0]
+    take = _cell_taker(idx)
     out_det = jnp.where(any_keep, take(det_conf), fb_det)
     out_clsconf = jnp.where(any_keep, take(cls_max), fb_cls)
     return jnp.concatenate([

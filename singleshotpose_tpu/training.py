@@ -84,20 +84,15 @@ def sgd_apply(params, grads, momentum, lr, wd: float, momentum_coef: float,
 
     ``no_decay_mask``: optional pytree of bools (True = skip weight decay),
     for the intended-but-dropped BN/bias exemption."""
-    def upd(p, g, m, skip_decay=False):
-        d = g if skip_decay else g + wd * p
-        m = momentum_coef * m + d
-        return p - lr * m, m
+    def new_m(p, g, m, skip_decay=False):
+        return momentum_coef * m + (g if skip_decay else g + wd * p)
 
     if no_decay_mask is None:
-        out = jax.tree.map(lambda p, g, m: upd(p, g, m), params, grads, momentum)
+        new_momentum = jax.tree.map(new_m, params, grads, momentum)
     else:
-        out = jax.tree.map(lambda p, g, m, s: upd(p, g, m, s),
-                           params, grads, momentum, no_decay_mask)
-    new_params = jax.tree.map(lambda t: t[0], out,
-                              is_leaf=lambda t: isinstance(t, tuple))
-    new_momentum = jax.tree.map(lambda t: t[1], out,
-                                is_leaf=lambda t: isinstance(t, tuple))
+        new_momentum = jax.tree.map(new_m, params, grads, momentum,
+                                    no_decay_mask)
+    new_params = jax.tree.map(lambda p, m: p - lr * m, params, new_momentum)
     return new_params, new_momentum
 
 
