@@ -444,7 +444,17 @@ def run_training(datacfg: str, modelcfg: Union[str, DarknetSpec],
     ds = PoseDataset(dcfg.train, train=True, bg_file_names=bg_files,
                      num_keypoints=spec.num_keypoints,
                      cache_decoded=rc.cache_decoded)
-    loader = Loader(ds, batch_size, schedule=SINGLE_SCHEDULE,
+    loader_batch = batch_size
+    if rc.mesh is not None and jax.process_count() > 1:
+        # multi-host: each process loads only its dataset shard and a
+        # per-host slice of the (global) cfg batch.  All hosts share
+        # rc.seed, so shuffles and multi-scale width draws stay in lockstep
+        # — a requirement for assembling rectangular global batches.
+        from .parallel.multihost import process_local_indices
+        idx = process_local_indices(len(ds))
+        ds.lines = [ds.lines[i] for i in idx]
+        loader_batch = batch_size // jax.process_count()
+    loader = Loader(ds, loader_batch, schedule=SINGLE_SCHEDULE,
                     seen=seen0, num_workers=rc.num_workers, seed=rc.seed,
                     backend=rc.loader_backend)
 
@@ -499,8 +509,14 @@ def _train_epochs(spec, state_box, loader, step, net, steps, scales,
             if rc.profile_dir and processed_batches == rc.profile_steps[0]:
                 jax.profiler.start_trace(rc.profile_dir)
             if rc.mesh is not None:
-                from .parallel.sharding import shard_host_batch
-                images, labels = shard_host_batch(rc.mesh, images, labels)
+                if jax.process_count() > 1:
+                    # multi-host: this process holds only its local shard;
+                    # assemble the logically-global batch-sharded array
+                    from .parallel.multihost import global_batch
+                    images, labels = global_batch(rc.mesh, images, labels)
+                else:
+                    from .parallel.sharding import shard_host_batch
+                    images, labels = shard_host_batch(rc.mesh, images, labels)
             else:
                 images, labels = jnp.asarray(images), jnp.asarray(labels)
             state, stats = step(state, images, labels,

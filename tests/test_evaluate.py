@@ -95,3 +95,21 @@ def test_multi_accuracy_table():
     assert 24.9 < tab[5] < 25.1
     assert tab[50] < 75.1
     assert list(tab.keys()) == list(range(5, 55, 5))
+
+
+def test_box3d_iou():
+    from singleshotpose_tpu.evaluate import box3d_iou
+    corners = np.array([[sx * .04, sy * .03, sz * .05]
+                        for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+                       np.float32)
+    Rt = np.concatenate([np.eye(3), [[0], [0], [0.6]]], axis=1).astype(np.float32)
+    # identical pose → IoU 1
+    assert box3d_iou(Rt, Rt, corners) == pytest.approx(1.0, abs=1e-6)
+    # disjoint (shift by > box size) → 0
+    Rt2 = Rt.copy()
+    Rt2[0, 3] += 0.2
+    assert box3d_iou(Rt, Rt2, corners) == 0.0
+    # half-overlap along x: inter = 1/2 vol, union = 3/2 vol → IoU 1/3
+    Rt3 = Rt.copy()
+    Rt3[0, 3] += 0.04
+    assert box3d_iou(Rt, Rt3, corners, grid=40) == pytest.approx(1/3, rel=0.06)
