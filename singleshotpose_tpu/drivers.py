@@ -421,6 +421,11 @@ def run_training(datacfg: str, modelcfg: Union[str, DarknetSpec],
     init_epoch = seen0 // max(nsamples, 1)
 
     if rc.mesh is not None:
+        dp = rc.mesh.shape.get("data", 1)
+        if batch_size % max(dp, 1) != 0:
+            raise ValueError(
+                f"[net] batch={batch_size} must be divisible by the mesh's "
+                f"data axis ({dp}) for data-parallel training")
         from .parallel.sharding import (batch_stats_shardings,
                                         param_shardings)
         ps = param_shardings(spec, rc.mesh)
