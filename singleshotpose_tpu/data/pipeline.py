@@ -256,7 +256,8 @@ class Loader:
                  schedule: Optional[MultiScaleSchedule] = SINGLE_SCHEDULE,
                  fixed_shape: Optional[Tuple[int, int]] = None,
                  num_workers: int = 8, seed: int = 0,
-                 drop_last: bool = True, backend: str = "auto"):
+                 drop_last: bool = True, backend: str = "auto",
+                 out_uint8: bool = False):
         self.ds = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -267,6 +268,9 @@ class Loader:
         self.pool = ThreadPoolExecutor(max_workers=num_workers) \
             if num_workers > 0 else None
         self.drop_last = drop_last
+        # test-mode option: yield uint8 images (normalize on-device) — 4x
+        # lighter host→device transfer; train paths always yield f32
+        self.out_uint8 = out_uint8
         # native C++ fused decode/augment (singleshotpose_tpu/native); only
         # the non-synthesized paths have a native kernel
         self._native = None
@@ -332,7 +336,10 @@ class Loader:
                 work = list(zip(idxs, seeds))
             else:
                 def one(i):
-                    return self.ds.get_test(int(i), shape)
+                    img, lab = self.ds.get_test(int(i), shape)
+                    if self.out_uint8:
+                        img = (img * 255.0).astype(np.uint8)
+                    return img, lab
                 work = list(idxs)
 
             if self.pool is not None:
@@ -424,7 +431,8 @@ class Loader:
             labels = np.stack([p[5] for p in plans])
         else:
             paths = [self.ds.lines[int(i)] for i in idxs]
-            imgs = self._native.test_batch(paths, w, h)
+            imgs = self._native.test_batch_u8(paths, w, h) if self.out_uint8 \
+                else self._native.test_batch(paths, w, h)
             labels = np.stack([self.ds.get_test_label(int(i))
                                for i in idxs])
         self.seen += len(idxs)

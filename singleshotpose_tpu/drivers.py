@@ -103,6 +103,9 @@ def _eval_forward(spec: DarknetSpec, compute_dtype):
 
         @jax.jit
         def forward(p, images):
+            if jnp.issubdtype(images.dtype, jnp.integer):
+                # u8 transfer path: normalize on device (4x lighter h2d)
+                images = images.astype(jnp.float32) / 255.0
             head = spec.apply_folded(p, images, compute_dtype=compute_dtype)
             return decode_grid(head.astype(jnp.float32), K, C, nA)
 
@@ -182,7 +185,7 @@ def run_validation(datacfg: str, modelcfg: Union[str, DarknetSpec],
                      num_keypoints=spec.num_keypoints)
     loader = Loader(ds, batch_size, shuffle=False, schedule=None,
                     fixed_shape=(spec.net.test_width, spec.net.test_height),
-                    num_workers=num_workers, drop_last=False)
+                    num_workers=num_workers, drop_last=False, out_uint8=True)
 
     def pick(decoded, labels):
         return best_boxes(decoded)
@@ -301,7 +304,7 @@ def run_validation_multi(datacfg: Union[str, DataConfig],
     # uses shape=(model.width, model.height), not test_width)
     loader = Loader(ds, batch_size, shuffle=False, schedule=None,
                     fixed_shape=(spec.net.width, spec.net.height),
-                    num_workers=num_workers, drop_last=False)
+                    num_workers=num_workers, drop_last=False, out_uint8=True)
 
     def pick(decoded, labels):
         if class_id is not None:

@@ -134,6 +134,24 @@ class NativeLoader:
                 f" (codes {status[bad].tolist()})")
         return out
 
+    def test_batch_u8(self, imgpaths: Sequence[str], out_w: int,
+                      out_h: int) -> np.ndarray:
+        """Decode+resize only, uint8 out — 4x lighter host→device transfer."""
+        n = len(imgpaths)
+        out = np.empty((n, out_h, out_w, 3), np.uint8)
+        status = np.zeros(n, np.int32)
+        self.lib.ssp_test_batch_u8(
+            ctypes.c_int(n), _cstr_array(list(imgpaths)),
+            ctypes.c_int(out_w), ctypes.c_int(out_h),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            ctypes.c_int(self.nthreads))
+        bad = np.nonzero(status)[0]
+        if bad.size:
+            raise IOError(
+                f"native test batch failed for {[imgpaths[i] for i in bad]}")
+        return out
+
     def test_batch(self, imgpaths: Sequence[str], out_w: int,
                    out_h: int) -> np.ndarray:
         n = len(imgpaths)

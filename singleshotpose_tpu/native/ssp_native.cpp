@@ -291,6 +291,16 @@ int ssp_test_sample(const char* imgpath, int out_w, int out_h, float* out) {
   return 0;
 }
 
+// u8 variant: decode + resize only — normalization happens on-device, so
+// host→device transfers carry 4x less data than the float path.
+int ssp_test_sample_u8(const char* imgpath, int out_w, int out_h,
+                       uint8_t* out) {
+  ImageU8 img;
+  if (!decode_file(imgpath, &img)) return -1;
+  resize_nearest(img.data.data(), img.h, img.w, out, out_h, out_w);
+  return 0;
+}
+
 // Batched fused train samples across native threads.
 // crops: int[4*n] (pleft,ptop,cw,ch per sample); hsv: float[3*n];
 // out: float[n*out_h*out_w*3]; status: int[n]. nthreads<=0 → hw concurrency.
@@ -311,6 +321,24 @@ void ssp_train_batch(int n, const char** imgpaths, const char** maskpaths,
           crops[4 * i + 2], crops[4 * i + 3], out_w, out_h, hsv[3 * i],
           hsv[3 * i + 1], hsv[3 * i + 2],
           out + size_t(i) * out_w * out_h * 3);
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 0; t < nthreads; t++) threads.emplace_back(worker);
+  for (auto& th : threads) th.join();
+}
+
+void ssp_test_batch_u8(int n, const char** imgpaths, int out_w, int out_h,
+                       uint8_t* out, int* status, int nthreads) {
+  if (nthreads <= 0) nthreads = int(std::thread::hardware_concurrency());
+  nthreads = std::max(1, std::min(nthreads, n));
+  std::atomic<int> next{0};
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) break;
+      status[i] = ssp_test_sample_u8(imgpaths[i], out_w, out_h,
+                                     out + size_t(i) * out_w * out_h * 3);
     }
   };
   std::vector<std::thread> threads;
