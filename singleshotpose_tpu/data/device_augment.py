@@ -162,6 +162,14 @@ def augment_batch(images: jax.Array, masks: jax.Array, bgs: jax.Array,
 
     Returns (B, out_h, out_w, 3) float32 in [0,1].
     """
+    # accept uint8 operands (4x lighter host→device transfer) and
+    # normalize on device
+    if jnp.issubdtype(images.dtype, jnp.integer):
+        images = images.astype(jnp.float32) / 255.0
+    if jnp.issubdtype(masks.dtype, jnp.integer):
+        masks = masks.astype(jnp.float32) / 255.0
+    if jnp.issubdtype(bgs.dtype, jnp.integer):
+        bgs = bgs.astype(jnp.float32) / 255.0
     comp = images * masks + bgs * (1.0 - masks)
 
     def one(img, pleft, ptop, sw, sh, dhue, dsat, dexp):
