@@ -356,7 +356,7 @@ class TrainRunConfig:
     eval_every: int = 10           # train.py:395 (epoch % 10)
     eval_after: int = 15           # train.py:395 (epoch > 15)
     save_best_metric: str = "acc_2d_proj"
-    compute_dtype = jnp.bfloat16
+    compute_dtype: object = jnp.bfloat16
     num_workers: int = 8
     eval_batch_size: int = 16
     bg_dir: str = "VOCdevkit/VOC2012/JPEGImages"
