@@ -227,8 +227,13 @@ class MultiObjectSynthesizer:
         add_objs = list(ADD_OBJS.get(objname, ()))
         rng.shuffle(add_objs)
 
-        img = load_image(imgpath)
-        mask = load_image(mask_path_from_image(imgpath))
+        # honor the dataset's decoded-image cache: scene synthesis re-reads
+        # companion frames constantly, so the cache pays off fastest here
+        decode = getattr(dataset, "_decode_cached", None)
+        load = (lambda p: decode(p, load_image)) if decode else load_image
+
+        img = load(imgpath)
+        mask = load(mask_path_from_image(imgpath))
         img, mask, flip, dx, dy, sx, sy = shifted_augment_with_mask(
             rng, img, mask, out_w, out_h, cfg.jitter, cfg.shift, apply_flip)
         total_label = augment.transform_truths(
@@ -248,8 +253,8 @@ class MultiObjectSynthesizer:
             for _attempt in range(cfg.max_attempts):
                 opath = lines[rng.randint(len(lines))]
                 try:
-                    oimg = load_image(opath)
-                    omask = load_image(mask_path_from_image(opath))
+                    oimg = load(opath)
+                    omask = load(mask_path_from_image(opath))
                 except (FileNotFoundError, OSError):
                     continue
                 omasked = mask_foreground(oimg, omask)

@@ -647,7 +647,8 @@ def run_training_multi(datacfg: str, modelcfg: Union[str, DarknetSpec],
     bg_files = get_all_files(rc.bg_dir) if os.path.isdir(rc.bg_dir) else []
     ds = PoseDataset(dcfg.train, train=True, bg_file_names=bg_files,
                      aug=AugmentConfig.multi(),
-                     num_keypoints=spec.num_keypoints, synthesizer=synth)
+                     num_keypoints=spec.num_keypoints, synthesizer=synth,
+                     cache_decoded=rc.cache_decoded)
     loader = Loader(ds, batch_size, schedule=MULTI_SCHEDULE, seen=seen0,
                     num_workers=rc.num_workers, seed=rc.seed)
 
