@@ -163,14 +163,25 @@ class PoseDataset:
         return np.zeros((0,), np.float32)
 
     def get_test_label(self, index: int) -> np.ndarray:
-        """Flat padded label tensor for the test path (reference packing:
-        truncated 19-field rows laid contiguously, ``dataset.py:121-127``)."""
-        truths = self._read_truths_test(self.lines[index])
-        label = np.zeros((self.max_num_gt * (2 * self.num_keypoints + 3),),
-                         np.float32)
-        flat = truths.reshape(-1)[:label.size]
-        label[:flat.size] = flat
-        return label
+        """Flat padded label tensor for the test path.
+
+        Divergence (reference bug not copied): the reference packs truncated
+        19-field rows CONTIGUOUSLY into the 21-stride tensor
+        (``dataset.py:121-127``) and then reads them back at stride 21
+        (``valid.py:124``, ``valid_multi.py:103``) — correct only because
+        its test label files happen to contain exactly one object; a second
+        GT would be read misaligned.  Here each 19-field row is padded to
+        the 21-float stride (trailing extent fields 0), so multi-GT test
+        frames decode correctly; single-GT frames are bit-identical.
+        """
+        K = self.num_keypoints
+        nl = 2 * K + 3
+        truths = self._read_truths_test(self.lines[index]).reshape(-1)
+        label = np.zeros((self.max_num_gt, nl), np.float32)
+        if truths.size:
+            rows = truths.reshape(-1, 2 * K + 1)[:self.max_num_gt]
+            label[:rows.shape[0], :2 * K + 1] = rows
+        return label.reshape(-1)
 
     def get_test(self, index: int, shape: Tuple[int, int]):
         """(img f32 HWC in [0,1], flat padded label) at fixed test shape."""

@@ -24,26 +24,41 @@ def prefetch(iterable: Iterable[T], depth: int = 2) -> Iterator[T]:
     """Iterate ``iterable`` on a daemon thread, ``depth`` items ahead.
 
     Exceptions raised by the producer are re-raised at the consumer's next
-    ``next()`` call; abandoning the iterator lets the daemon thread die with
-    at most ``depth`` queued items.
+    ``next()`` call.  Abandoning the iterator (consumer exception, early
+    break, GC) sets a stop flag the producer polls, so it exits instead of
+    blocking forever on a full queue holding decoded batches.
     """
     q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
+    stop = threading.Event()
 
     def producer():
         try:
             for item in iterable:
-                q.put(item)
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except BaseException as e:  # propagate to consumer
-            q.put((_SENTINEL, e))
+            if not stop.is_set():
+                q.put((_SENTINEL, e))
             return
-        q.put((_SENTINEL, None))
+        if not stop.is_set():
+            q.put((_SENTINEL, None))
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if isinstance(item, tuple) and len(item) == 2 and item[0] is _SENTINEL:
-            if item[1] is not None:
-                raise item[1]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if isinstance(item, tuple) and len(item) == 2 \
+                    and item[0] is _SENTINEL:
+                if item[1] is not None:
+                    raise item[1]
+                return
+            yield item
+    finally:
+        stop.set()

@@ -100,13 +100,17 @@ def _eval_forward(spec: DarknetSpec, compute_dtype):
     per_spec = _FWD_CACHE.setdefault(spec, {})
     if key not in per_spec:
         K, C, nA = spec.num_keypoints, spec.num_classes, spec.num_anchors
+        # weak ref: a closure holding `spec` strongly would pin the WeakKey
+        # entry (value → key cycle) and no spec could ever be evicted
+        spec_ref = weakref.proxy(spec)
 
         @jax.jit
         def forward(p, images):
             if jnp.issubdtype(images.dtype, jnp.integer):
                 # u8 transfer path: normalize on device (4x lighter h2d)
                 images = images.astype(jnp.float32) / 255.0
-            head = spec.apply_folded(p, images, compute_dtype=compute_dtype)
+            head = spec_ref.apply_folded(p, images,
+                                         compute_dtype=compute_dtype)
             return decode_grid(head.astype(jnp.float32), K, C, nA)
 
         per_spec[key] = forward
@@ -462,6 +466,9 @@ def run_training(datacfg: str, modelcfg: Union[str, DarknetSpec],
         idx = process_local_indices(len(ds))
         ds.lines = [ds.lines[i] for i in idx]
         loader_batch = batch_size // jax.process_count()
+        # loader's multi-scale clock runs in LOCAL samples; state.seen is
+        # global — convert so resume lands in the right bracket
+        seen0 = seen0 // jax.process_count()
     loader = Loader(ds, loader_batch, schedule=SINGLE_SCHEDULE,
                     seen=seen0, num_workers=rc.num_workers, seed=rc.seed,
                     backend=rc.loader_backend)
@@ -488,12 +495,18 @@ def run_training(datacfg: str, modelcfg: Union[str, DarknetSpec],
         # pre-loop value) and resume restores it.
         state = state_box[0]
         if ckpt is not None:
+            # best-effort: with donate=True a device-side failure can leave
+            # state buffers donated/poisoned, in which case the save itself
+            # fails — log and let the ORIGINAL error propagate
             _log("emergency checkpoint on failure")
             try:
-                ckpt.save(pb_box[0], state, wait=True)
-            except Exception:
-                ckpt.save(pb_box[0] + 1, state, wait=True)
-            ckpt.close()
+                try:
+                    ckpt.save(pb_box[0], state, wait=True)
+                except Exception:
+                    ckpt.save(pb_box[0] + 1, state, wait=True)
+                ckpt.close()
+            except Exception as e:
+                _log(f"emergency checkpoint failed: {e!r}")
         raise
     if ckpt is not None:
         ckpt.save(processed_batches, state, wait=True)
@@ -547,6 +560,11 @@ def _train_epochs(spec, state_box, loader, step, net, steps, scales,
             ckpt.save(processed_batches, state)
 
         if (epoch % rc.eval_every == 0) and (epoch > rc.eval_after):
+            if jax.process_count() > 1:
+                # in-training eval needs locally-addressable params; under a
+                # multi-host mesh run the eval offline from a checkpoint
+                _log("skipping in-training eval under multi-host mesh")
+                continue
             summary = run_validation(
                 datacfg, spec, params=state.params,
                 batch_stats=state.batch_stats,
@@ -657,22 +675,27 @@ def run_training_multi(datacfg: str, modelcfg: Union[str, DarknetSpec],
     best_acc = -float("inf")
 
     state_box = [state]
+    pb_box = [processed_batches]
     try:
         for epoch in range(init_epoch, max_epochs):
             processed_batches, best_acc = _multi_epoch_body(
                 epoch, spec, state_box, loader, step, net, steps,
-                scales, batch_size, nbatches, processed_batches, rc, ckpt,
+                scales, batch_size, nbatches, pb_box, rc, ckpt,
                 eval_datacfgs, backupdir, history, best_acc)
             state = state_box[0]
     except BaseException:
         state = state_box[0]
         if ckpt is not None:
+            # best-effort, per-batch step id (see run_training's handler)
             _log("[multi] emergency checkpoint on failure")
             try:
-                ckpt.save(processed_batches, state, wait=True)
-            except Exception:
-                ckpt.save(processed_batches + 1, state, wait=True)
-            ckpt.close()
+                try:
+                    ckpt.save(pb_box[0], state, wait=True)
+                except Exception:
+                    ckpt.save(pb_box[0] + 1, state, wait=True)
+                ckpt.close()
+            except Exception as e:
+                _log(f"[multi] emergency checkpoint failed: {e!r}")
         raise
     if ckpt is not None:
         ckpt.save(processed_batches, state, wait=True)
@@ -681,9 +704,10 @@ def run_training_multi(datacfg: str, modelcfg: Union[str, DarknetSpec],
 
 
 def _multi_epoch_body(epoch, spec, state_box, loader, step, net, steps,
-                      scales, batch_size, nbatches, processed_batches, rc,
+                      scales, batch_size, nbatches, pb_box, rc,
                       ckpt, eval_datacfgs, backupdir, history, best_acc):
     state = state_box[0]
+    processed_batches = pb_box[0]
     lr = schedule_lr(net.learning_rate, processed_batches, steps, scales)
     _log(f"[multi] epoch {epoch}, lr {lr:f}")
     pending = []
@@ -696,6 +720,7 @@ def _multi_epoch_body(epoch, spec, state_box, loader, step, net, steps,
         state_box[0] = state
         pending.append((epoch * int(np.ceil(nbatches)) + bidx, stats))
         processed_batches += 1
+        pb_box[0] = processed_batches
         if len(pending) >= rc.log_every:
             _drain_stats(pending, history, epoch)
             pending = []

@@ -184,16 +184,58 @@ def best_boxes_per_class(decoded: DecodedGrid, conf_thresh: float,
     """Class-picked boxes for EVERY class at once: (B, C, 2K+3).
 
     Same per-class semantics as :func:`best_box_for_class` (threshold+argmax
-    with the reference's sequential joint-max fallback), vmapped over the
-    class axis so multi-GT eval can pair each ground truth with the box of
-    its own class (reference: ``valid_multi.py:118-123`` matches
-    ``boxes[j][2K+2] == truths[k][0]`` per GT)."""
-    C = decoded.cls_probs.shape[-1]
-    cls_ids = jnp.arange(C, dtype=jnp.int32)
-    boxes = jax.vmap(
-        lambda c: best_box_for_class(decoded, c, conf_thresh,
-                                     only_objectness))(cls_ids)
-    return boxes.transpose(1, 0, 2)   # (C, B, 2K+3) → (B, C, 2K+3)
+    with the reference's sequential joint-max fallback) so multi-GT eval can
+    pair each ground truth with the box of its own class (reference:
+    ``valid_multi.py:118-123`` matches ``boxes[j][2K+2] == truths[k][0]``
+    per GT).  The order-dependent fallback fold runs as ONE S-length scan
+    with a C-wide carry (det_conf is class-independent), not C separate
+    scans — the scan is the latency-bound part on TPU.
+    """
+    corners, det_conf, cls_probs = decoded
+    B, S = det_conf.shape
+    C = cls_probs.shape[-1]
+    cls_max = jnp.max(cls_probs, axis=-1)
+    cls_id = jnp.argmax(cls_probs, axis=-1)
+    conf = det_conf if only_objectness else det_conf * cls_max
+
+    # thresholded fast path, all classes at once: (B, C, S)
+    keep = (conf > conf_thresh)[:, None, :] & \
+        (cls_id[:, None, :] == jnp.arange(C, dtype=cls_id.dtype)[None, :, None])
+    any_keep = jnp.any(keep, axis=-1)                         # (B, C)
+    kept_idx = jnp.argmax(jnp.where(keep, det_conf[:, None, :], -jnp.inf),
+                          axis=-1)                            # (B, C)
+
+    # fallback fold, one pass over cells with per-class joint maxima
+    def fold(carry, xs):
+        best_det, best_cls, best_ind = carry                  # (C,),(C,),(C,)
+        d, p, i = xs                                          # (), (C,), ()
+        upd = (d > best_det) & (p > best_cls)
+        return (jnp.where(upd, d, best_det), jnp.where(upd, p, best_cls),
+                jnp.where(upd, i, best_ind)), None
+
+    def run_fold(d_row, p_row):                               # (S,), (S, C)
+        init = (jnp.full((C,), -jnp.inf, d_row.dtype),
+                jnp.full((C,), -jnp.inf, p_row.dtype),
+                jnp.zeros((C,), jnp.int32))
+        (bd, bc, bi), _ = lax.scan(
+            fold, init, (d_row, p_row, jnp.arange(S, dtype=jnp.int32)))
+        return bi, bd, bc
+
+    fb_idx, fb_det, fb_cls = jax.vmap(run_fold)(det_conf, cls_probs)  # (B,C)
+
+    idx = jnp.where(any_keep, kept_idx, fb_idx)               # (B, C)
+    # gather per (b, c): corners/det/cls_max at idx
+    bidx = jnp.arange(B)[:, None]
+    g_corners = corners[bidx, idx]                            # (B, C, 2K)
+    g_det = det_conf[bidx, idx]
+    g_clsmax = cls_max[bidx, idx]
+    out_det = jnp.where(any_keep, g_det, fb_det)
+    out_clsconf = jnp.where(any_keep, g_clsmax, fb_cls)
+    cls_col = jnp.broadcast_to(
+        jnp.arange(C, dtype=corners.dtype)[None, :], (B, C))
+    return jnp.concatenate([
+        g_corners, out_det[..., None], out_clsconf[..., None],
+        cls_col[..., None]], axis=-1)
 
 
 def bbox_iou(box1, box2, x1y1x2y2: bool = False) -> float:

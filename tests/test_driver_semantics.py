@@ -51,3 +51,36 @@ def test_eval_forward_cached_per_spec():
     assert f3 is not f1                   # distinct per compute dtype
     other = yolo_pose_multi()
     assert _eval_forward(other, jnp.bfloat16) is not f1
+
+
+def test_multi_gt_test_labels_decode_correctly(tmp_path):
+    """Two GTs of different classes in one eval frame: per-row 21-stride
+    padding keeps classes/corners aligned (the reference's contiguous
+    packing would misread GT 1)."""
+    from singleshotpose_tpu.data.pipeline import PoseDataset
+    from singleshotpose_tpu.evaluate import gt_corner_boxes, truths_length
+    from PIL import Image
+
+    root = tmp_path / "obj"
+    for d in ("JPEGImages", "labels"):
+        (root / d).mkdir(parents=True)
+    img = np.zeros((48, 64, 3), np.uint8)
+    Image.fromarray(img).save(root / "JPEGImages" / "000000.png")
+    lab = np.zeros((2, 21), np.float32)
+    lab[0, 0] = 3
+    lab[0, 1:19] = 0.25
+    lab[1, 0] = 7
+    lab[1, 1:19] = 0.75
+    np.savetxt(root / "labels" / "000000.txt", lab)
+    lst = tmp_path / "t.txt"
+    lst.write_text(str(root / "JPEGImages" / "000000.png") + "\n")
+
+    ds = PoseDataset(str(lst), train=False)
+    label = ds.get_test_label(0)
+    assert truths_length(label) == 2
+    t = label.reshape(50, 21)
+    assert t[0, 0] == 3 and t[1, 0] == 7          # classes aligned
+    boxes = gt_corner_boxes(label)
+    np.testing.assert_allclose(boxes[0], 0.25)
+    np.testing.assert_allclose(boxes[1], 0.75)    # corners aligned
+    assert (t[:2, 19:21] == 0).all()              # extents zero at eval
