@@ -514,46 +514,58 @@ def run_training(datacfg: str, modelcfg: Union[str, DarknetSpec],
     return {"state": state, "best_acc": best_acc, "history": history}
 
 
+def _run_epoch_batches(epoch, loader, step, net, steps, scales, batch_size,
+                       nbatches, state_box, pb_box, rc, history):
+    """Inner batch loop shared by both trainers: schedule LR per batch,
+    shard/assemble batches per mesh mode, run the fused step, drain stats in
+    chunks, honor the profiler window.  state_box/pb_box stay current per
+    batch so crash handlers rescue the latest state."""
+    state = state_box[0]
+    processed_batches = pb_box[0]
+    pending = []  # async stats fetch: (iter, device stats)
+    for bidx, (images, labels) in enumerate(prefetch(loader)):
+        lr = schedule_lr(net.learning_rate, processed_batches, steps, scales)
+        if rc.profile_dir and processed_batches == rc.profile_steps[0]:
+            jax.profiler.start_trace(rc.profile_dir)
+        if rc.mesh is not None:
+            if jax.process_count() > 1:
+                # multi-host: this process holds only its local shard;
+                # assemble the logically-global batch-sharded array
+                from .parallel.multihost import global_batch
+                images, labels = global_batch(rc.mesh, images, labels)
+            else:
+                from .parallel.sharding import shard_host_batch
+                images, labels = shard_host_batch(rc.mesh, images, labels)
+        else:
+            images, labels = jnp.asarray(images), jnp.asarray(labels)
+        state, stats = step(state, images, labels,
+                            np.float32(lr / batch_size), np.int32(epoch))
+        state_box[0] = state
+        pending.append((epoch * int(np.ceil(nbatches)) + bidx, stats))
+        processed_batches += 1
+        pb_box[0] = processed_batches
+        if rc.profile_dir and processed_batches == rc.profile_steps[1]:
+            jax.block_until_ready(stats["loss"])
+            jax.profiler.stop_trace()
+        if len(pending) >= rc.log_every:
+            _drain_stats(pending, history, epoch)
+            pending = []
+    _drain_stats(pending, history, epoch)
+    return processed_batches
+
+
 def _train_epochs(spec, state_box, loader, step, net, steps, scales,
                   batch_size, nbatches, nsamples, init_epoch, max_epochs,
                   pb_box, rc, ckpt, datacfg, backupdir, history,
                   best_acc):
-    state = state_box[0]
     processed_batches = pb_box[0]
     for epoch in range(init_epoch, max_epochs):
         lr = schedule_lr(net.learning_rate, processed_batches, steps, scales)
         _log(f"epoch {epoch}, processed {epoch * nsamples} samples, lr {lr:f}")
-        pending = []  # async stats fetch: (iter, device stats)
-        for bidx, (images, labels) in enumerate(prefetch(loader)):
-            lr = schedule_lr(net.learning_rate, processed_batches, steps,
-                             scales)
-            if rc.profile_dir and processed_batches == rc.profile_steps[0]:
-                jax.profiler.start_trace(rc.profile_dir)
-            if rc.mesh is not None:
-                if jax.process_count() > 1:
-                    # multi-host: this process holds only its local shard;
-                    # assemble the logically-global batch-sharded array
-                    from .parallel.multihost import global_batch
-                    images, labels = global_batch(rc.mesh, images, labels)
-                else:
-                    from .parallel.sharding import shard_host_batch
-                    images, labels = shard_host_batch(rc.mesh, images, labels)
-            else:
-                images, labels = jnp.asarray(images), jnp.asarray(labels)
-            state, stats = step(state, images, labels,
-                                np.float32(lr / batch_size),
-                                np.int32(epoch))
-            state_box[0] = state
-            pending.append((epoch * int(np.ceil(nbatches)) + bidx, stats))
-            processed_batches += 1
-            pb_box[0] = processed_batches
-            if rc.profile_dir and processed_batches == rc.profile_steps[1]:
-                jax.block_until_ready(stats["loss"])
-                jax.profiler.stop_trace()
-            if len(pending) >= rc.log_every:
-                _drain_stats(pending, history, epoch)
-                pending = []
-        _drain_stats(pending, history, epoch)
+        processed_batches = _run_epoch_batches(
+            epoch, loader, step, net, steps, scales, batch_size, nbatches,
+            state_box, pb_box, rc, history)
+        state = state_box[0]
 
         if ckpt is not None and rc.orbax_every_epochs and \
                 epoch % rc.orbax_every_epochs == 0:
@@ -706,25 +718,13 @@ def run_training_multi(datacfg: str, modelcfg: Union[str, DarknetSpec],
 def _multi_epoch_body(epoch, spec, state_box, loader, step, net, steps,
                       scales, batch_size, nbatches, pb_box, rc,
                       ckpt, eval_datacfgs, backupdir, history, best_acc):
-    state = state_box[0]
     processed_batches = pb_box[0]
     lr = schedule_lr(net.learning_rate, processed_batches, steps, scales)
     _log(f"[multi] epoch {epoch}, lr {lr:f}")
-    pending = []
-    for bidx, (images, labels) in enumerate(prefetch(loader)):
-        lr = schedule_lr(net.learning_rate, processed_batches, steps,
-                         scales)
-        state, stats = step(state, jnp.asarray(images),
-                            jnp.asarray(labels),
-                            np.float32(lr / batch_size), np.int32(epoch))
-        state_box[0] = state
-        pending.append((epoch * int(np.ceil(nbatches)) + bidx, stats))
-        processed_batches += 1
-        pb_box[0] = processed_batches
-        if len(pending) >= rc.log_every:
-            _drain_stats(pending, history, epoch)
-            pending = []
-    _drain_stats(pending, history, epoch)
+    processed_batches = _run_epoch_batches(
+        epoch, loader, step, net, steps, scales, batch_size, nbatches,
+        state_box, pb_box, rc, history)
+    state = state_box[0]
 
     if ckpt is not None and rc.orbax_every_epochs and \
             epoch % rc.orbax_every_epochs == 0:
