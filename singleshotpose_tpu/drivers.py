@@ -658,6 +658,22 @@ def run_training_multi(datacfg: str, modelcfg: Union[str, DarknetSpec],
     processed_batches = seen0 // batch_size
     init_epoch = seen0 // max(nsamples, 1)
 
+    if rc.mesh is not None:
+        dp = rc.mesh.shape.get("data", 1)
+        if batch_size % max(dp, 1) != 0:
+            raise ValueError(
+                f"[net] batch={batch_size} must be divisible by the mesh's "
+                f"data axis ({dp}) for data-parallel training")
+        from .parallel.sharding import (batch_stats_shardings,
+                                        param_shardings)
+        ps = param_shardings(spec, rc.mesh)
+        state = TrainState(
+            jax.tree.map(jax.device_put, state.params, ps),
+            jax.tree.map(jax.device_put, state.batch_stats,
+                         batch_stats_shardings(spec, rc.mesh)),
+            jax.tree.map(jax.device_put, state.momentum, ps),
+            state.seen)
+
     loss_cfg = loss_config_from_spec(
         spec, pretrain_num_epochs=pretrain_num_epochs,
         im_width=dcfg.width, im_height=dcfg.height, multi=True,

@@ -98,3 +98,61 @@ def test_driver_mesh_training(tmp_path):
     r = run_training(datacfg, str(cfgfile), None, 100, rc)
     assert np.isfinite(r["history"]["training_losses"]).all()
     assert int(jax.device_get(r["state"].seen)) == 6
+
+
+def test_multi_driver_mesh_training(tmp_path):
+    """Multi trainer on a 2-device DP mesh: sharded state + batches."""
+    import jax
+    import numpy as np
+    from PIL import Image
+    from singleshotpose_tpu.drivers import TrainRunConfig, run_training_multi
+    from singleshotpose_tpu.parallel.sharding import make_mesh
+
+    rng = np.random.RandomState(0)
+    root = tmp_path / "LINEMOD" / "ape"
+    for d in ("JPEGImages", "mask", "labels"):
+        (root / d).mkdir(parents=True)
+    paths = []
+    for i in range(4):
+        name = f"00{i:04d}"
+        Image.fromarray(rng.randint(0, 255, (120, 160, 3), np.uint8)).save(
+            root / "JPEGImages" / f"{name}.jpg")
+        m = np.zeros((120, 160), np.uint8)
+        m[30:90, 40:120] = 255
+        Image.fromarray(m).save(root / "mask" / f"{name[2:]}.png")
+        lab = np.zeros(21, np.float32)
+        lab[1:19] = rng.uniform(0.3, 0.7, 18)
+        lab[19:21] = [0.3, 0.4]
+        np.savetxt(root / "labels" / f"{name}.txt", lab[None])
+        paths.append(str(root / "JPEGImages" / f"{name}.jpg"))
+    (root / "train.txt").write_text(
+        "\n".join(f"LINEMOD/ape/JPEGImages/00{i:04d}.jpg"
+                  for i in range(4)) + "\n")
+    (tmp_path / "tr.txt").write_text("\n".join(paths) + "\n")
+    (tmp_path / "occ.data").write_text(
+        f"train = {tmp_path}/tr.txt\nbackup = {tmp_path}/backup\n"
+        "name = occlusion\nwidth = 160\nheight = 120\n")
+
+    cfg = tmp_path / "multi.cfg"
+    from test_training import TINY_CFG
+    cfg.write_text(TINY_CFG.replace("batch=4", "batch=2")
+                   .replace("filters=20", "filters=44")
+                   .replace("classes=1", "classes=3")
+                   .replace("anchors =", "anchors = 1.5, 2.2, 3.1, 4.0")
+                   .replace("num=1", "num=2"))
+
+    import singleshotpose_tpu.data.synth_multi as sm
+    orig = sm.ADD_OBJS
+    sm.ADD_OBJS = dict(orig)
+    sm.ADD_OBJS["ape"] = ()
+    try:
+        mesh = make_mesh(jax.devices()[:2], dp=2, mp=1)
+        rc = TrainRunConfig(eval_every=100, eval_after=100, num_workers=0,
+                            bg_dir="/nonexistent", log_every=100,
+                            max_epochs_override=1, mesh=mesh)
+        rc.compute_dtype = None
+        r = run_training_multi(str(tmp_path / "occ.data"), str(cfg), None, 0,
+                               None, str(tmp_path / "LINEMOD"), rc)
+        assert np.isfinite(r["history"]["training_losses"]).all()
+    finally:
+        sm.ADD_OBJS = orig
