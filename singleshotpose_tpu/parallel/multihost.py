@@ -23,7 +23,7 @@ aware (all hosts call save/restore collectively).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import numpy as np

@@ -10,7 +10,6 @@ derived from image paths by string substitution (``dataset.py:116``,
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 import numpy as np
 
