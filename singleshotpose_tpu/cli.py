@@ -34,14 +34,8 @@ def _resolve_model(modelcfg: str):
     return modelcfg
 
 
-def cmd_train(argv: Sequence[str]) -> int:
-    p = argparse.ArgumentParser(prog="ssp train",
-                                description="SingleShotPose (TPU)")
-    p.add_argument("--datacfg", type=str, default="cfg/ape.data")
-    p.add_argument("--modelcfg", type=str, default="cfg/yolo-pose.cfg")
-    p.add_argument("--initweightfile", type=str,
-                   default="cfg/darknet19_448.conv.23")
-    p.add_argument("--pretrain_num_epochs", type=int, default=15)
+def _add_train_run_flags(p: argparse.ArgumentParser) -> None:
+    """Shared beyond-reference training knobs (single + multi trainers)."""
     p.add_argument("--max_epochs", type=int, default=None,
                    help="override [net] max_epochs")
     p.add_argument("--bg_dir", type=str,
@@ -57,23 +51,45 @@ def cmd_train(argv: Sequence[str]) -> int:
     p.add_argument("--cache_decoded", action="store_true",
                    help="RAM-cache decoded images across epochs")
     p.add_argument("--loader_backend", type=str, default="auto",
-                   choices=["auto", "python", "native", "device"])
+                   choices=["auto", "python", "native", "device"],
+                   help="train-multi note: scene synthesis only runs on "
+                        "auto/python")
+
+
+def _mesh_from_dp(dp: int):
+    if not dp:
+        return None
+    import jax
+    from .parallel.sharding import make_mesh
+    return make_mesh(jax.devices()[:dp], dp=dp, mp=1)
+
+
+def _run_config_from_args(args, **overrides):
+    from .drivers import TrainRunConfig
+    kw = dict(bg_dir=args.bg_dir, max_epochs_override=args.max_epochs,
+              mesh=_mesh_from_dp(args.dp), orbax_dir=args.orbax_dir,
+              resume=args.resume, profile_dir=args.profile_dir,
+              cache_decoded=args.cache_decoded,
+              loader_backend=args.loader_backend)
+    kw.update(overrides)
+    return TrainRunConfig(**kw)
+
+
+def cmd_train(argv: Sequence[str]) -> int:
+    p = argparse.ArgumentParser(prog="ssp train",
+                                description="SingleShotPose (TPU)")
+    p.add_argument("--datacfg", type=str, default="cfg/ape.data")
+    p.add_argument("--modelcfg", type=str, default="cfg/yolo-pose.cfg")
+    p.add_argument("--initweightfile", type=str,
+                   default="cfg/darknet19_448.conv.23")
+    p.add_argument("--pretrain_num_epochs", type=int, default=15)
+    _add_train_run_flags(p)
     args = p.parse_args(argv)
     _require_file(args.datacfg, "data config")
     _require_file(args.initweightfile or None, "initial weight file")
 
-    from .drivers import TrainRunConfig, run_training
-    mesh = None
-    if args.dp:
-        import jax
-        from .parallel.sharding import make_mesh
-        mesh = make_mesh(jax.devices()[:args.dp], dp=args.dp, mp=1)
-    rc = TrainRunConfig(bg_dir=args.bg_dir,
-                        max_epochs_override=args.max_epochs,
-                        mesh=mesh, orbax_dir=args.orbax_dir,
-                        resume=args.resume, profile_dir=args.profile_dir,
-                        cache_decoded=args.cache_decoded,
-                        loader_backend=args.loader_backend)
+    from .drivers import run_training
+    rc = _run_config_from_args(args)
     result = run_training(args.datacfg, _resolve_model(args.modelcfg),
                           args.initweightfile or None,
                           args.pretrain_num_epochs, rc)
@@ -89,16 +105,13 @@ def cmd_train_multi(argv: Sequence[str]) -> int:
     p.add_argument("--initweightfile", type=str,
                    default="backup_multi/init.weights")
     p.add_argument("--pretrain_num_epochs", type=int, default=0)
-    p.add_argument("--max_epochs", type=int, default=None)
-    p.add_argument("--bg_dir", type=str,
-                   default="VOCdevkit/VOC2012/JPEGImages")
     p.add_argument("--linemod_root", type=str, default=None)
     p.add_argument("--eval_datacfgs", type=str, nargs="*", default=None)
+    _add_train_run_flags(p)
     args = p.parse_args(argv)
 
-    from .drivers import TrainRunConfig, run_training_multi
-    rc = TrainRunConfig(eval_every=20, eval_after=-1, bg_dir=args.bg_dir,
-                        max_epochs_override=args.max_epochs)
+    from .drivers import run_training_multi
+    rc = _run_config_from_args(args, eval_every=20, eval_after=-1)
     eval_dcs = args.eval_datacfgs
     if eval_dcs is None:
         # reference sweep: train_multi.py:277-297
@@ -119,15 +132,30 @@ def cmd_valid(argv: Sequence[str]) -> int:
     p.add_argument("--modelcfg", type=str, default="cfg/yolo-pose.cfg")
     p.add_argument("--weightfile", type=str,
                    default="backup/ape/model_backup.weights")
+    p.add_argument("--orbax_dir", type=str, default=None,
+                   help="evaluate from an Orbax full-state checkpoint "
+                        "instead of --weightfile (the offline-eval path for "
+                        "multi-host training runs)")
+    p.add_argument("--step", type=int, default=None,
+                   help="Orbax checkpoint step (default: latest)")
     p.add_argument("--save", action="store_true",
                    help="dump per-frame R/t/corners + predictions .mat")
     args = p.parse_args(argv)
     _require_file(args.datacfg, "data config")
-    _require_file(args.weightfile, "weight file")
 
     from .drivers import run_validation
-    run_validation(args.datacfg, _resolve_model(args.modelcfg),
-                   args.weightfile, save=args.save)
+    spec = _resolve_model(args.modelcfg)
+    if args.orbax_dir:
+        from .checkpoint import OrbaxCheckpointer
+        ckpt = OrbaxCheckpointer(args.orbax_dir)
+        state, step = ckpt.restore(args.step)
+        ckpt.close()
+        print(f"evaluating Orbax checkpoint step {step} from {args.orbax_dir}")
+        run_validation(args.datacfg, spec, params=state.params,
+                       batch_stats=state.batch_stats, save=args.save)
+    else:
+        _require_file(args.weightfile, "weight file")
+        run_validation(args.datacfg, spec, args.weightfile, save=args.save)
     return 0
 
 

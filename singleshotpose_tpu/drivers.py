@@ -28,7 +28,7 @@ from .data.pipeline import (MULTI_SCHEDULE, SINGLE_SCHEDULE, AugmentConfig,
                             Loader, PoseDataset)
 from .data.prefetch import prefetch
 from .evaluate import (EvalContext, PoseErrors, accuracy_summary,
-                       gt_corner_boxes, multi_accuracy_table, pose_metrics)
+                       multi_accuracy_table, pose_metrics)
 from .models.darknet import DarknetSpec, fold_batchnorm
 from .ops.decode import (best_box_for_class, best_boxes,
                          best_boxes_per_class, decode_grid)
@@ -57,8 +57,8 @@ def loss_config_from_spec(spec: DarknetSpec, *, pretrain_num_epochs: int,
                           im_width: int, im_height: int,
                           multi: bool = False,
                           honor_cfg_scales: bool = False,
-                          use_pallas: Optional[bool] = None
-                          ) -> RegionLossConfig:
+                          use_pallas: Optional[bool] = None,
+                          mesh=None) -> RegionLossConfig:
     """Loss config: topology from the spec's [region] block, scales per the
     reference's EFFECTIVE behavior.
 
@@ -81,7 +81,7 @@ def loss_config_from_spec(spec: DarknetSpec, *, pretrain_num_epochs: int,
         pretrain_num_epochs=pretrain_num_epochs,
         with_class_loss=multi and r.classes > 1,
         im_width=float(im_width), im_height=float(im_height),
-        use_pallas=use_pallas, **scales)
+        use_pallas=use_pallas, mesh=mesh, **scales)
 
 
 # ---------------------------------------------------------------------------
@@ -134,34 +134,46 @@ def _eval_pass(spec: DarknetSpec, params, batch_stats, loader: Loader,
     K = num_keypoints
     forward = _eval_forward(spec, compute_dtype)
 
+    # async pipeline: the prefetch thread decodes batch i+1 while the device
+    # runs batch i (JAX dispatch is non-blocking), and the per-batch box
+    # picks stay ON DEVICE — one device_get at the end syncs everything.
+    # Through a high-latency host↔device link (the dev-env tunnel round-trip
+    # is ~25 ms) per-batch syncs alone would cap eval below 50 fps.
+    pending: List[Tuple[jax.Array, np.ndarray]] = []
+    for images, labels in prefetch(loader):
+        decoded = forward(folded, jnp.asarray(images))
+        pending.append((batched_pick(decoded, labels), labels))
+    all_boxes = jax.device_get([b for b, _ in pending])
+
+    # vectorized GT gather (same order as the reference's nested image/GT
+    # loops, valid.py:117-130): "break at first empty slot" via cumprod
     all_gt: List[np.ndarray] = []
     all_pr: List[np.ndarray] = []
-    image_idx: List[int] = []
+    image_idx: List[np.ndarray] = []
     img_base = 0
-    for images, labels in loader:
-        decoded = forward(folded, jnp.asarray(images))
-        boxes = np.asarray(batched_pick(decoded, labels))
-        nl = labels.shape[1] // 50
-        for b in range(images.shape[0]):
-            gts = gt_corner_boxes(labels[b], K)          # (nGT, 2K)
-            classes = labels[b].reshape(50, nl)[:len(gts), 0].astype(int)
-            for k, g in enumerate(gts):
-                box = boxes[b, classes[k]] if boxes.ndim == 3 else boxes[b]
-                all_gt.append(g.reshape(K, 2))
-                all_pr.append(box[:2 * K].reshape(K, 2))
-                image_idx.append(img_base + b)
-        img_base += images.shape[0]
+    for boxes, (_, labels) in zip(all_boxes, pending):
+        B = labels.shape[0]
+        lab = labels.reshape(B, 50, -1)
+        valid = np.cumprod(lab[:, :, 1] != 0, axis=1).astype(bool)  # (B,50)
+        bidx, gidx = np.nonzero(valid)                  # row-major = loop order
+        if bidx.size:
+            all_gt.append(lab[bidx, gidx, 1:2 * K + 1])
+            classes = lab[bidx, gidx, 0].astype(int)
+            pr = boxes[bidx, classes] if boxes.ndim == 3 else boxes[bidx]
+            all_pr.append(pr[:, :2 * K])
+            image_idx.append(img_base + bidx)
+        img_base += B
 
     errors = PoseErrors()
     if not all_gt:
         return errors, {}
-    scale = np.array([ctx.im_width, ctx.im_height], np.float32)
-    gt = np.stack(all_gt) * scale
-    pr = np.stack(all_pr) * scale
+    scale = np.tile(np.array([ctx.im_width, ctx.im_height], np.float32), K)
+    gt = (np.concatenate(all_gt) * scale).reshape(-1, K, 2)
+    pr = (np.concatenate(all_pr) * scale).reshape(-1, K, 2)
     metrics = pose_metrics(gt, pr, ctx, fix_gt_corners=fix_gt_corners)
     errors.extend(metrics)
     return errors, {"corners_gt": gt, "corners_pr": pr, "metrics": metrics,
-                    "image_idx": np.asarray(image_idx)}
+                    "image_idx": np.concatenate(image_idx)}
 
 
 def run_validation(datacfg: str, modelcfg: Union[str, DarknetSpec],
@@ -445,8 +457,7 @@ def run_training(datacfg: str, modelcfg: Union[str, DarknetSpec],
 
     loss_cfg = loss_config_from_spec(
         spec, pretrain_num_epochs=pretrain_num_epochs,
-        im_width=dcfg.width, im_height=dcfg.height,
-        use_pallas=False if rc.mesh is not None else None)
+        im_width=dcfg.width, im_height=dcfg.height, mesh=rc.mesh)
     step = make_train_step(spec, loss_cfg,
                            weight_decay=net.decay * batch_size,
                            momentum=net.momentum,
@@ -456,19 +467,8 @@ def run_training(datacfg: str, modelcfg: Union[str, DarknetSpec],
     ds = PoseDataset(dcfg.train, train=True, bg_file_names=bg_files,
                      num_keypoints=spec.num_keypoints,
                      cache_decoded=rc.cache_decoded)
-    loader_batch = batch_size
-    if rc.mesh is not None and jax.process_count() > 1:
-        # multi-host: each process loads only its dataset shard and a
-        # per-host slice of the (global) cfg batch.  All hosts share
-        # rc.seed, so shuffles and multi-scale width draws stay in lockstep
-        # — a requirement for assembling rectangular global batches.
-        from .parallel.multihost import process_local_indices
-        idx = process_local_indices(len(ds))
-        ds.lines = [ds.lines[i] for i in idx]
-        loader_batch = batch_size // jax.process_count()
-        # loader's multi-scale clock runs in LOCAL samples; state.seen is
-        # global — convert so resume lands in the right bracket
-        seen0 = seen0 // jax.process_count()
+    loader_batch, seen0 = _multihost_local_shard(ds, batch_size, seen0,
+                                                 rc.mesh)
     loader = Loader(ds, loader_batch, schedule=SINGLE_SCHEDULE,
                     seen=seen0, num_workers=rc.num_workers, seed=rc.seed,
                     backend=rc.loader_backend)
@@ -512,6 +512,27 @@ def run_training(datacfg: str, modelcfg: Union[str, DarknetSpec],
         ckpt.save(processed_batches, state, wait=True)
         ckpt.close()
     return {"state": state, "best_acc": best_acc, "history": history}
+
+
+def _multihost_local_shard(ds: PoseDataset, batch_size: int, seen0: int,
+                           mesh) -> Tuple[int, int]:
+    """Multi-host: restrict ``ds`` to this process's dataset shard and divide
+    the (global) cfg batch per host.  All hosts share the run seed, so
+    shuffles and multi-scale width draws stay in lockstep — a requirement for
+    assembling rectangular global batches.  ``seen`` is global but the
+    loader's multi-scale clock runs in LOCAL samples, so the returned local
+    seen keeps resume in the right bracket.  No-op single-host.
+    """
+    if mesh is None or jax.process_count() <= 1:
+        return batch_size, seen0
+    nproc = jax.process_count()
+    if batch_size % nproc != 0:
+        raise ValueError(f"[net] batch={batch_size} must be divisible by "
+                         f"process_count={nproc} for multi-host training")
+    from .parallel.multihost import process_local_indices
+    idx = process_local_indices(len(ds))
+    ds.lines = [ds.lines[i] for i in idx]
+    return batch_size // nproc, seen0 // nproc
 
 
 def _run_epoch_batches(epoch, loader, step, net, steps, scales, batch_size,
@@ -677,7 +698,7 @@ def run_training_multi(datacfg: str, modelcfg: Union[str, DarknetSpec],
     loss_cfg = loss_config_from_spec(
         spec, pretrain_num_epochs=pretrain_num_epochs,
         im_width=dcfg.width, im_height=dcfg.height, multi=True,
-        use_pallas=False if rc.mesh is not None else None)
+        mesh=rc.mesh)
     step = make_train_step(spec, loss_cfg,
                            weight_decay=net.decay * batch_size,
                            momentum=net.momentum,
@@ -695,8 +716,11 @@ def run_training_multi(datacfg: str, modelcfg: Union[str, DarknetSpec],
                      aug=AugmentConfig.multi(),
                      num_keypoints=spec.num_keypoints, synthesizer=synth,
                      cache_decoded=rc.cache_decoded)
-    loader = Loader(ds, batch_size, schedule=MULTI_SCHEDULE, seen=seen0,
-                    num_workers=rc.num_workers, seed=rc.seed)
+    loader_batch, seen0 = _multihost_local_shard(ds, batch_size, seen0,
+                                                 rc.mesh)
+    loader = Loader(ds, loader_batch, schedule=MULTI_SCHEDULE, seen=seen0,
+                    num_workers=rc.num_workers, seed=rc.seed,
+                    backend=rc.loader_backend)
 
     history: Dict[str, List] = {"training_iters": [], "training_losses": [],
                                 "testing_iters": [], "testing_accuracies": []}
@@ -748,6 +772,11 @@ def _multi_epoch_body(epoch, spec, state_box, loader, step, net, steps,
 
     if eval_datacfgs and (epoch % rc.eval_every == 0) \
             and (epoch > rc.eval_after):
+        if jax.process_count() > 1:
+            # in-training eval needs locally-addressable params; under a
+            # multi-host mesh run the eval offline from a checkpoint
+            _log("[multi] skipping in-training eval under multi-host mesh")
+            return processed_batches, best_acc
         accs = []
         for dc in eval_datacfgs:
             res = run_validation_multi(

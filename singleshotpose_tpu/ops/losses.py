@@ -47,9 +47,11 @@ class RegionLossConfig:
     im_width: float = 640.0
     im_height: float = 480.0
     max_num_gt: int = 50
-    # None → auto (Pallas on single-chip TPU).  Set False under a sharded
-    # mesh: Mosaic custom calls have no GSPMD partitioning rule.
+    # None → auto (Pallas on TPU).  Under a sharded mesh, also set ``mesh``
+    # so the kernel runs per-device via shard_map (Mosaic custom calls have
+    # no GSPMD partitioning rule on their own).
     use_pallas: Optional[bool] = None
+    mesh: Optional[object] = None   # jax.sharding.Mesh (hashable)
 
     @classmethod
     def single(cls, pretrain_num_epochs: int = 15, **kw) -> "RegionLossConfig":
@@ -116,7 +118,7 @@ def region_loss(output: jax.Array, target: jax.Array, epoch,
         noobject_scale=cfg.noobject_scale, object_scale=cfg.object_scale,
         sil_thresh=cfg.sil_thresh, anchors=cfg.anchors,
         im_width=cfg.im_width, im_height=cfg.im_height,
-        max_num_gt=cfg.max_num_gt, use_pallas=cfg.use_pallas)
+        max_num_gt=cfg.max_num_gt, use_pallas=cfg.use_pallas, mesh=cfg.mesh)
 
     cm = bt.coord_mask[:, :, None]
     loss_x = cfg.coord_scale * 0.5 * jnp.sum(cm * jnp.square(xs - bt.txs))

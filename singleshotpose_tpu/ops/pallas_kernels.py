@@ -32,7 +32,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-__all__ = ["max_corner_confidence", "pallas_supported"]
+__all__ = ["max_corner_confidence", "max_corner_confidence_sharded",
+           "pallas_supported"]
 
 
 def pallas_supported() -> bool:
@@ -120,3 +121,31 @@ def max_corner_confidence(gt_corners: jax.Array, valid: jax.Array,
         interpret=interpret,
     )(gx, gy, vf, px, py)
     return out[:, 0, :S]
+
+
+def max_corner_confidence_sharded(gt_corners: jax.Array, valid: jax.Array,
+                                  pred_corners: jax.Array, mesh, *,
+                                  th: float = 80.0, sharpness: float = 2.0,
+                                  im_width: float = 640.0,
+                                  im_height: float = 480.0,
+                                  interpret: bool = False) -> jax.Array:
+    """:func:`max_corner_confidence` under a ("data","model") mesh.
+
+    Mosaic custom calls have no GSPMD partitioning rule, so inside pjit the
+    bare kernel would force XLA to gather the full batch onto every device.
+    The reduction is batch-independent, so ``shard_map`` over the mesh's
+    ``data`` axis runs the kernel per-device on the local batch shard — no
+    collectives, bit-identical to the single-device kernel.  All three inputs
+    are batch-sharded activations (replicated over ``model``), so every
+    model-rank computes the same shard; ``check_vma=False`` because the
+    varying-axes checker cannot see through the Mosaic custom call.
+    """
+    fn = functools.partial(max_corner_confidence, th=th, sharpness=sharpness,
+                           im_width=im_width, im_height=im_height,
+                           interpret=interpret)
+    from jax.sharding import PartitionSpec as P
+    spec3 = P("data", None, None)
+    return jax.shard_map(fn, mesh=mesh,
+                         in_specs=(spec3, P("data", None), spec3),
+                         out_specs=P("data", None),
+                         check_vma=False)(gt_corners, valid, pred_corners)

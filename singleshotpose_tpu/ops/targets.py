@@ -72,7 +72,8 @@ def build_targets(pred_corners: jax.Array, target: jax.Array, *,
                   anchors: Tuple[float, ...] = (),
                   im_width: float = 640.0, im_height: float = 480.0,
                   max_num_gt: int = 50,
-                  use_pallas: Optional[bool] = None) -> BuiltTargets:
+                  use_pallas: Optional[bool] = None,
+                  mesh=None) -> BuiltTargets:
     """Args:
       pred_corners: (B, S, 2K) normalized predicted keypoints (detached),
         S = nA*nH*nW anchor-major.
@@ -96,11 +97,18 @@ def build_targets(pred_corners: jax.Array, target: jax.Array, *,
         from .pallas_kernels import pallas_supported
         use_pallas = pallas_supported()
     if use_pallas:
-        # fused VMEM reduction, no (B,50,S) intermediate in HBM
-        from .pallas_kernels import max_corner_confidence
-        cur_confs = max_corner_confidence(
-            gt_corners, valid, pred_corners,
-            im_width=im_width, im_height=im_height)                        # (B,S)
+        # fused VMEM reduction, no (B,50,S) intermediate in HBM; under a
+        # sharded mesh the shard_map wrapper keeps the kernel per-device
+        from .pallas_kernels import (max_corner_confidence,
+                                     max_corner_confidence_sharded)
+        if mesh is not None:
+            cur_confs = max_corner_confidence_sharded(
+                gt_corners, valid, pred_corners, mesh,
+                im_width=im_width, im_height=im_height)                    # (B,S)
+        else:
+            cur_confs = max_corner_confidence(
+                gt_corners, valid, pred_corners,
+                im_width=im_width, im_height=im_height)                    # (B,S)
     else:
         confs = corner_confidences(gt_corners[:, :, None, :],
                                    pred_corners[:, None, :, :],

@@ -23,7 +23,8 @@ from .models.darknet import DarknetSpec
 
 __all__ = ["yolo_pose_blocks", "yolo_pose_single", "yolo_pose_multi",
            "yolo_pose_pretrain", "MULTI_ANCHORS", "LINEMOD_OBJECTS",
-           "LINEMOD_DIAMETERS", "linemod_datacfg"]
+           "LINEMOD_DIAMETERS", "linemod_datacfg", "OCCLUSION_OBJECTS",
+           "occlusion_datacfg"]
 
 # 5 anchor (w, h) pairs in grid units (yolo-pose-multi.cfg:240)
 MULTI_ANCHORS: Tuple[float, ...] = (
@@ -154,6 +155,64 @@ def linemod_datacfg(obj: str, linemod_root: str = "LINEMOD",
             "fy = 573.5704\n"
             "u0 = 325.2611\n"
             "v0 = 242.0489\n")
+
+
+# Objects with OCCLUSION test annotations (reference ships one
+# ``<obj>_occlusion.data`` per entry, multi_obj_pose_estimation/cfg/).
+OCCLUSION_OBJECTS: Tuple[str, ...] = (
+    "ape", "can", "cat", "driller", "duck", "eggbox", "glue", "holepuncher")
+
+# Objects in the combined occlusion.data numbered sweep (no eggbox there,
+# reference multi_obj_pose_estimation/cfg/occlusion.data:2-8).
+_OCCLUSION_SWEEP: Tuple[str, ...] = (
+    "ape", "can", "cat", "driller", "duck", "glue", "holepuncher")
+
+_SHARED_CAMERA = ("gpus = 0\n"
+                  "im_width = 640\n"
+                  "im_height = 480\n"
+                  "fx = 572.4114\n"
+                  "fy = 573.5704\n"
+                  "u0 = 325.2611\n"
+                  "v0 = 242.0489\n")
+
+
+def occlusion_datacfg(obj: Optional[str] = None,
+                      linemod_root: str = "../LINEMOD",
+                      backup_root: str = "backup_multi",
+                      train_list: str = "cfg/train_occlusion.txt") -> str:
+    """Render OCCLUSION ``.data`` artifacts for ``read_data_cfg``.
+
+    ``obj=None`` → the combined multi-object config with numbered
+    ``valid<i>``/``mesh<i>``/``diam<i>`` keys (≡ reference
+    ``multi_obj_pose_estimation/cfg/occlusion.data``; index = LINEMOD class
+    id + 1, e.g. ``valid1`` = ape, ``valid4`` = can).  ``obj=<name>`` → the
+    per-object eval config (≡ ``<obj>_occlusion.data``), plus a ``class_id``
+    key (beyond reference) so the eval driver can class-pick boxes directly.
+    """
+    if obj is None:
+        lines = [f"train  = {train_list}"]
+        for o in _OCCLUSION_SWEEP:
+            i = LINEMOD_OBJECTS.index(o) + 1
+            lines.append(f"valid{i} = {linemod_root}/{o}/test_occlusion.txt")
+        lines.append(f"backup = {backup_root}")
+        for o in _OCCLUSION_SWEEP:
+            i = LINEMOD_OBJECTS.index(o) + 1
+            lines.append(f"mesh{i} = {linemod_root}/{o}/{o}.ply")
+        for o in _OCCLUSION_SWEEP:
+            i = LINEMOD_OBJECTS.index(o) + 1
+            lines.append(f"diam{i} = {LINEMOD_DIAMETERS[o]}")
+        return "\n".join(lines) + "\n" + _SHARED_CAMERA
+    if obj not in OCCLUSION_OBJECTS:
+        raise ValueError(f"no OCCLUSION annotations for {obj!r}; "
+                         f"choose from {OCCLUSION_OBJECTS}")
+    r = f"{linemod_root}/{obj}"
+    return (f"valid = {r}/test_occlusion.txt\n"
+            f"mesh = {r}/{obj}.ply\n"
+            f"backup = {backup_root}\n"
+            f"name = {obj}\n"
+            f"diam = {LINEMOD_DIAMETERS[obj]}\n"
+            f"class_id = {LINEMOD_OBJECTS.index(obj)}\n"
+            + _SHARED_CAMERA)
 
 
 def yolo_pose_pretrain(**overrides) -> DarknetSpec:

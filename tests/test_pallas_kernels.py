@@ -54,6 +54,89 @@ def test_close_predictions_give_high_confidence():
     assert (out0 == 0).all()
 
 
+def test_sharded_kernel_matches_unsharded():
+    """shard_map wrapper over a ('data','model') mesh: bit-identical to the
+    single-device kernel and to the XLA reference, on batch-sharded inputs."""
+    from singleshotpose_tpu.ops.pallas_kernels import \
+        max_corner_confidence_sharded
+    from singleshotpose_tpu.parallel.sharding import batch_sharding, make_mesh
+
+    B, G, S, K = 8, 50, 845, 9
+    rng = np.random.RandomState(3)
+    gt = rng.uniform(0, 1, (B, G, 2 * K)).astype(np.float32)
+    pred = rng.uniform(0, 1, (B, S, 2 * K)).astype(np.float32)
+    valid = (rng.rand(B, G) < 0.3).astype(np.float32)
+
+    mesh = make_mesh(jax.devices()[:8], mp=2)
+    gt_s = jax.device_put(gt, batch_sharding(mesh, 3))
+    valid_s = jax.device_put(valid, batch_sharding(mesh, 2))
+    pred_s = jax.device_put(pred, batch_sharding(mesh, 3))
+
+    out_sharded = np.asarray(max_corner_confidence_sharded(
+        gt_s, valid_s, pred_s, mesh, interpret=True))
+    out_single = np.asarray(max_corner_confidence(
+        jnp.asarray(gt), jnp.asarray(valid), jnp.asarray(pred),
+        interpret=True))
+    ref = np.asarray(_reference(jnp.asarray(gt), valid.astype(bool),
+                                jnp.asarray(pred)))
+    np.testing.assert_array_equal(out_sharded, out_single)
+    np.testing.assert_allclose(out_sharded, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_mesh_training_with_pallas_kernel(monkeypatch):
+    """Full sharded train step with the Pallas kernel ON (interpret mode):
+    the shard_map wrapper composes with pjit/GSPMD end to end."""
+    import functools
+
+    import singleshotpose_tpu.ops.pallas_kernels as pk
+    from singleshotpose_tpu.config import parse_cfg
+    from singleshotpose_tpu.models.darknet import DarknetSpec
+    from singleshotpose_tpu.ops.losses import RegionLossConfig
+    from singleshotpose_tpu.parallel.sharding import (
+        batch_stats_shardings, make_mesh, param_shardings, shard_host_batch)
+    from singleshotpose_tpu.training import init_train_state, make_train_step
+    from test_training import TINY_CFG, _tiny_target
+    import tempfile
+
+    orig = pk.max_corner_confidence
+    monkeypatch.setattr(
+        pk, "max_corner_confidence",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+
+    with tempfile.NamedTemporaryFile("w", suffix=".cfg") as f:
+        f.write(TINY_CFG)
+        f.flush()
+        net = DarknetSpec(parse_cfg(f.name))
+
+    mesh = make_mesh(jax.devices()[:8], mp=2)
+    params, bstats = net.init_params(jax.random.PRNGKey(0))
+    params = jax.tree.map(jax.device_put, params, param_shardings(net, mesh))
+    bstats = jax.tree.map(jax.device_put, bstats,
+                          batch_stats_shardings(net, mesh))
+    state = init_train_state(params, bstats)
+
+    rng = np.random.RandomState(0)
+    images = rng.rand(8, 64, 64, 3).astype(np.float32)
+    target = _tiny_target(8)
+
+    # pallas ON via shard_map + mesh threading through RegionLossConfig
+    cfg_p = RegionLossConfig.single(use_pallas=True, mesh=mesh)
+    cfg_x = RegionLossConfig.single(use_pallas=False)
+    with mesh:
+        imgs, tgts = shard_host_batch(mesh, images, target)
+        step_p = make_train_step(net, cfg_p, weight_decay=0.0, momentum=0.9,
+                                 compute_dtype=None, donate=False)
+        step_x = make_train_step(net, cfg_x, weight_decay=0.0, momentum=0.9,
+                                 compute_dtype=None, donate=False)
+        sp, stats_p = step_p(state, imgs, tgts, 1e-4, 100)
+        sx, stats_x = step_x(state, imgs, tgts, 1e-4, 100)
+    np.testing.assert_allclose(float(stats_p["loss"]),
+                               float(stats_x["loss"]), rtol=1e-6)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7),
+        sp.params, sx.params)
+
+
 def test_build_targets_pallas_path_matches_xla():
     from singleshotpose_tpu.ops.targets import build_targets
     B, K, nA, H, W = 2, 9, 5, 13, 13
