@@ -1,23 +1,27 @@
-"""Headline benchmark: single-chip 416×416 inference throughput (fps).
+"""Headline benchmarks: inference fps (the driver metric), fused-train-step
+throughput, and end-to-end eval fps on synthetic LINEMOD.
 
-Runs the flagship yolo-pose net (Darknet-19 + passthrough + pose head,
-BN folded, bf16 compute) INCLUDING the on-device grid decode — i.e. the
-per-frame work of ``valid.py`` minus host PnP.
-
-Methodology: N net executions are chained on-device inside one jitted
-``lax.fori_loop`` (iteration i+1's input depends on iteration i's output),
-so a single host sync times N real sequential executions.  Naive
+Methodology (device metrics): N executions are chained on-device inside one
+jitted ``lax.fori_loop`` (iteration i+1's input depends on iteration i's
+output), so a single host sync times N real sequential executions.  Naive
 dispatch-loop timing is wrong on this platform: dispatch is async and
 ``block_until_ready`` returns long before the device finishes through the
 axon tunnel (observed 500k "fps" — past the chip's theoretical peak).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The eval benchmark is deliberately end-to-end (reference hot path
+``valid.py:107-200``): JPEG decode → resize → uint8 h2d → forward+decode on
+device → batched PnP → full metric suite, on a generated LINEMOD-format
+dataset, so host pipeline regressions are visible round-over-round.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 Baseline: the CVPR'18 paper's real-time claim, ~50 fps on a Titan X
 (reference README.md:11 / arXiv:1711.08848); the repo itself publishes no
 numbers (BASELINE.md).
 """
 
+import argparse
 import json
+import os
 import time
 from functools import partial
 
@@ -30,9 +34,14 @@ BASELINE_FPS = 50.0  # Titan X real-time claim from the paper
 BATCH = 128          # throughput-optimal on v5e (32→2.4k, 64→3.1k, 128→4.2k fps)
 SIZE = 416
 CHAIN = 30
+TRAIN_BATCH = 8      # the reference single-object config ([net] batch=8)
+TRAIN_CHAIN = 20
+EVAL_FRAMES = 256
+EVAL_BATCH = 48
 
 
-def main():
+def bench_infer():
+    """Single-chip 416² inference fps (bf16, BN folded, incl. grid decode)."""
     from singleshotpose_tpu.models.darknet import fold_batchnorm
     from singleshotpose_tpu.ops.decode import best_boxes, decode_grid
     from singleshotpose_tpu.zoo import yolo_pose_single
@@ -64,13 +73,171 @@ def main():
     out = chained_infer(folded, x, CHAIN)
     float(jnp.sum(out))                          # sync: all CHAIN iters done
     dt = time.perf_counter() - t0
+    return BATCH * CHAIN / dt
 
-    fps = BATCH * CHAIN / dt
+
+def bench_train_step():
+    """Fused train-step time (fwd+loss+bwd+SGD, reference batch 8 at 416²).
+
+    Chained on-device: iteration i+1 consumes iteration i's updated state,
+    so one sync times TRAIN_CHAIN real sequential steps (reference hot loop
+    ``train.py:76-129``).  Returns (step_ms, samples_per_sec).
+    """
+    from singleshotpose_tpu.ops.losses import RegionLossConfig
+    from singleshotpose_tpu.training import init_train_state, make_train_step
+    from singleshotpose_tpu.zoo import yolo_pose_single
+
+    net = yolo_pose_single()
+    params, bstats = net.init_params(jax.random.PRNGKey(0))
+    state = init_train_state(params, bstats)
+    raw_step = make_train_step(net, RegionLossConfig.single(),
+                               weight_decay=0.0005 * TRAIN_BATCH,
+                               momentum=0.9, compute_dtype=jnp.bfloat16,
+                               donate=False, jit_compile=False)
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(TRAIN_BATCH, SIZE, SIZE, 3), jnp.float32)
+    target = np.zeros((TRAIN_BATCH, 50 * 21), np.float32)
+    tt = target.reshape(TRAIN_BATCH, 50, 21)
+    tt[:, 0, 1:19] = rng.uniform(0.2, 0.8, (TRAIN_BATCH, 18))
+    tt[:, 0, 19:21] = [0.3, 0.4]
+    target = jnp.asarray(target)
+
+    @partial(jax.jit, static_argnames=("iters",), donate_argnums=(0,))
+    def chained_train(state, images, target, iters):
+        def body(i, st):
+            st, _stats = raw_step(st, images, target,
+                                  jnp.float32(0.001 / TRAIN_BATCH), 100)
+            return st
+        return jax.lax.fori_loop(0, iters, body, state)
+
+    state = chained_train(state, images, target, TRAIN_CHAIN)  # compile+warm
+    int(jax.device_get(state.seen))                            # sync
+    t0 = time.perf_counter()
+    state = chained_train(state, images, target, TRAIN_CHAIN)
+    int(jax.device_get(state.seen))
+    dt = time.perf_counter() - t0
+    step_ms = dt / TRAIN_CHAIN * 1e3
+    return step_ms, TRAIN_BATCH * TRAIN_CHAIN / dt
+
+
+def _gen_eval_dataset(base: str, n: int) -> str:
+    """LINEMOD-format synthetic eval set: 640×480 JPEG frames (smooth content
+    so decode cost resembles real photos), labels, mesh, .data config."""
+    from PIL import Image
+    rng = np.random.RandomState(5)
+    for d in ("JPEGImages", "labels"):
+        os.makedirs(f"{base}/obj/{d}", exist_ok=True)
+    K = np.array([[572.4114, 0, 325.2611], [0, 573.5704, 242.0489],
+                  [0, 0, 1]], np.float32)
+    pts = np.array([[0, 0, 0]] + [[sx * .045, sy * .035, sz * .04]
+                    for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+                   np.float32)
+    yy, xx = np.mgrid[0:480, 0:640]
+    paths = []
+    for i in range(n):
+        w = rng.randn(3) * .5
+        th = np.linalg.norm(w)
+        Kx = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]])
+        R = np.eye(3) + np.sin(th) / th * Kx + \
+            (1 - np.cos(th)) / th ** 2 * Kx @ Kx
+        t = np.array([rng.uniform(-.06, .06), rng.uniform(-.05, .05),
+                      rng.uniform(.6, .8)])
+        cam = pts @ R.T + t
+        pix = cam @ K.T
+        pix = pix[:, :2] / pix[:, 2:3]
+        img = np.stack([(xx / 640 * 180 + 40 + 20 * np.sin(i)),
+                        (yy / 480 * 160 + 50), np.full_like(xx, 90.0)],
+                       axis=-1).astype(np.uint8)
+        x0, y0 = int(pix[0, 0]) - 40, int(pix[0, 1]) - 40
+        img[max(y0, 0):y0 + 80, max(x0, 0):x0 + 80] = (200, 120, 60)
+        name = f"00{i:04d}"
+        Image.fromarray(img).save(f"{base}/obj/JPEGImages/{name}.jpg",
+                                  quality=85)
+        lab = np.zeros(21, np.float32)
+        lab[1:19:2] = pix[:, 0] / 640
+        lab[2:19:2] = pix[:, 1] / 480
+        lab[19:21] = [np.ptp(pix[:, 0]) / 640, np.ptp(pix[:, 1]) / 480]
+        np.savetxt(f"{base}/obj/labels/{name}.txt", lab[None])
+        paths.append(f"{base}/obj/JPEGImages/{name}.jpg")
+    with open(f"{base}/test.txt", "w") as f:
+        f.write("\n".join(paths) + "\n")
+    v = pts[1:]
+    ply = ["ply", "format ascii 1.0", f"element vertex {len(v)}",
+           "property float x", "property float y", "property float z",
+           "element face 0", "property list uchar int vertex_indices",
+           "end_header"] + [f"{a} {b} {c}" for a, b, c in v]
+    with open(f"{base}/obj.ply", "w") as f:
+        f.write("\n".join(ply) + "\n")
+    data = (f"valid = {base}/test.txt\nbackup = {base}/backup\n"
+            f"mesh = {base}/obj.ply\nname = synth\ndiam = 0.107\n"
+            "width = 640\nheight = 480\nfx = 572.4114\nfy = 573.5704\n"
+            "u0 = 325.2611\nv0 = 242.0489\n")
+    with open(f"{base}/synth.data", "w") as f:
+        f.write(data)
+    return f"{base}/synth.data"
+
+
+def bench_eval_e2e():
+    """End-to-end eval fps: JPEG decode → h2d → forward+decode → batched PnP
+    → metric suite (``run_validation`` equivalent), warm pass, for both
+    transfer modes: "rgb" (u8 at eval size) and "yuv420" (native-size 4:2:0
+    planes converted + resized on device — the transfer-optimal path)."""
+    from singleshotpose_tpu.drivers import run_validation
+    from singleshotpose_tpu.zoo import yolo_pose_single
+
+    base = "/tmp/ssp_bench_eval"
+    datacfg = _gen_eval_dataset(base, EVAL_FRAMES)
+    net = yolo_pose_single()
+    params, bstats = net.init_params(jax.random.PRNGKey(0))
+    kw = dict(params=params, batch_stats=bstats, batch_size=EVAL_BATCH,
+              num_workers=2, verbose=False)
+    fps = {}
+    for transfer in ("rgb", "yuv420"):
+        try:
+            run_validation(datacfg, net, transfer=transfer, **kw)  # warm
+            t0 = time.perf_counter()
+            s = run_validation(datacfg, net, transfer=transfer, **kw)
+            dt = time.perf_counter() - t0
+            assert s["n_samples"] == EVAL_FRAMES
+            fps[transfer] = EVAL_FRAMES / dt
+        except (RuntimeError, OSError):
+            fps[transfer] = None    # native loader unavailable
+    return fps
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", choices=["infer", "train", "eval"], default=None,
+                    help="run a single benchmark (default: all)")
+    args = ap.parse_args()
+
+    extra = {}
+    fps = None
+    if args.only in (None, "infer"):
+        fps = bench_infer()
+    if args.only in (None, "train"):
+        step_ms, tps = bench_train_step()
+        extra["train_step_ms_b8"] = round(step_ms, 2)
+        extra["train_samples_per_sec"] = round(tps, 1)
+    if args.only in (None, "eval"):
+        eval_fps = bench_eval_e2e()
+        extra["eval_e2e_fps"] = round(eval_fps["rgb"], 1) \
+            if eval_fps["rgb"] else None
+        extra["eval_e2e_fps_yuv420"] = round(eval_fps["yuv420"], 1) \
+            if eval_fps["yuv420"] else None
+
+    if fps is None:                 # --only train/eval: still one JSON line
+        metric, value = next(iter(extra.items()))
+        print(json.dumps({"metric": metric, "value": value,
+                          "unit": "", "vs_baseline": None, "extra": extra}))
+        return
     print(json.dumps({
         "metric": "inference_fps_416_per_chip",
         "value": round(fps, 1),
         "unit": "frames/sec",
         "vs_baseline": round(fps / BASELINE_FPS, 2),
+        "extra": extra,
     }))
 
 

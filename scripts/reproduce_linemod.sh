@@ -1,0 +1,66 @@
+#!/usr/bin/env bash
+# Reproduce the reference's LINEMOD acceptance metrics with the TPU stack.
+#
+# One command once the external data exists (the reference's own downloads,
+# README.md:34-48 of microsoft/singleshotpose):
+#
+#   LINEMOD/            the 13-object dataset (train.txt/test.txt/<obj>.ply)
+#   VOCdevkit/          VOC2012 JPEGImages (train-time backgrounds)
+#   backup/             the reference's trained per-object .weights
+#                       (or cfg/darknet19_448.conv.23 to train from scratch)
+#
+# Usage:
+#   scripts/reproduce_linemod.sh eval  [objects...]   # eval reference weights
+#   scripts/reproduce_linemod.sh train [objects...]   # full training runs
+#
+# Eval loads the reference's own checkpoints through the bit-exact weights
+# codec (tests/test_weights_cross_ab.py), so matching numbers here are a
+# direct accuracy-parity proof against /root/reference's valid.py tables.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+MODE="${1:-eval}"
+shift || true
+OBJECTS=("$@")
+if [ ${#OBJECTS[@]} -eq 0 ]; then
+    OBJECTS=(ape benchvise cam can cat driller duck eggbox glue holepuncher iron lamp phone)
+fi
+
+export LINEMOD_ROOT="${LINEMOD_ROOT:-LINEMOD}"
+export BACKUP_ROOT="${BACKUP_ROOT:-backup}"
+
+mkdir -p cfg
+python - "$@" <<'EOF'
+import os, sys
+sys.path.insert(0, os.getcwd())
+from singleshotpose_tpu.zoo import linemod_datacfg, LINEMOD_OBJECTS
+root = os.environ.get("LINEMOD_ROOT", "LINEMOD")
+backup = os.environ.get("BACKUP_ROOT", "backup")
+objs = sys.argv[1:] or list(LINEMOD_OBJECTS)
+for obj in objs:
+    with open(f"cfg/{obj}.data", "w") as f:
+        f.write(linemod_datacfg(obj, root, backup))
+print(f"rendered {len(objs)} .data configs under cfg/")
+EOF
+
+for obj in "${OBJECTS[@]}"; do
+    echo "=== ${obj} (${MODE}) ==="
+    if [ "$MODE" = "train" ]; then
+        python -m singleshotpose_tpu.cli train \
+            --datacfg "cfg/${obj}.data" \
+            --modelcfg yolo-pose \
+            --initweightfile cfg/darknet19_448.conv.23 \
+            --pretrain_num_epochs 15 \
+            --bg_dir VOCdevkit/VOC2012/JPEGImages \
+            --cache_decoded --precompile_buckets
+        WEIGHTS="${BACKUP_ROOT}/${obj}/model.weights"
+    else
+        WEIGHTS="${BACKUP_ROOT}/${obj}/model_backup.weights"
+        [ -f "$WEIGHTS" ] || WEIGHTS="${BACKUP_ROOT}/${obj}/model.weights"
+    fi
+    python -m singleshotpose_tpu.cli valid \
+        --datacfg "cfg/${obj}.data" \
+        --modelcfg yolo-pose \
+        --weightfile "$WEIGHTS"
+done
+echo "Done. Compare the per-object tables with the reference's valid.py output."

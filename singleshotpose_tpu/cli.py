@@ -54,6 +54,9 @@ def _add_train_run_flags(p: argparse.ArgumentParser) -> None:
                    choices=["auto", "python", "native", "device"],
                    help="train-multi note: scene synthesis only runs on "
                         "auto/python")
+    p.add_argument("--precompile_buckets", action="store_true",
+                   help="compile every multi-scale bucket before epoch 0 "
+                        "(no mid-epoch XLA compile stalls)")
 
 
 def _mesh_from_dp(dp: int):
@@ -70,7 +73,8 @@ def _run_config_from_args(args, **overrides):
               mesh=_mesh_from_dp(args.dp), orbax_dir=args.orbax_dir,
               resume=args.resume, profile_dir=args.profile_dir,
               cache_decoded=args.cache_decoded,
-              loader_backend=args.loader_backend)
+              loader_backend=args.loader_backend,
+              precompile_buckets=args.precompile_buckets)
     kw.update(overrides)
     return TrainRunConfig(**kw)
 

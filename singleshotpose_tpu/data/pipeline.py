@@ -229,23 +229,31 @@ class PoseDataset:
                 (dhue, dsat, dexp), label)
 
     def get_train(self, index: int, shape: Tuple[int, int],
-                  rng: np.random.RandomState):
+                  rng: np.random.RandomState, as_uint8: bool = False):
+        """One augmented train sample.  ``as_uint8`` skips the final /255
+        (the augmentation pipeline is uint8 throughout) so batches transfer
+        at 1/4 the bytes and normalize on device — bit-identical values."""
         imgpath = self.lines[index]
         if self.synthesizer is not None:
             img, label = self.synthesizer(self, imgpath, shape, rng)
-            return img.astype(np.float32) / 255.0, label
-        img = self._decode_cached(imgpath, load_image)
-        mask = self._decode_cached(mask_path_from_image(imgpath), load_image)
-        if self.bg_file_names:
-            bg = load_image(self.bg_file_names[rng.randint(len(self.bg_file_names))])
-            img = augment.change_background(img, mask, bg)
-        w, h = shape
-        img, _flip, dx, dy, sx, sy = augment.data_augmentation(
-            rng, img, w, h, self.aug.jitter, self.aug.hue,
-            self.aug.saturation, self.aug.exposure)
-        truths = self._read_truths_full(imgpath)
-        label = augment.transform_truths(truths, dx, dy, 1.0 / sx, 1.0 / sy,
-                                         self.num_keypoints, self.max_num_gt)
+        else:
+            img = self._decode_cached(imgpath, load_image)
+            mask = self._decode_cached(mask_path_from_image(imgpath),
+                                       load_image)
+            if self.bg_file_names:
+                bg = load_image(
+                    self.bg_file_names[rng.randint(len(self.bg_file_names))])
+                img = augment.change_background(img, mask, bg)
+            w, h = shape
+            img, _flip, dx, dy, sx, sy = augment.data_augmentation(
+                rng, img, w, h, self.aug.jitter, self.aug.hue,
+                self.aug.saturation, self.aug.exposure)
+            truths = self._read_truths_full(imgpath)
+            label = augment.transform_truths(truths, dx, dy, 1.0 / sx,
+                                             1.0 / sy, self.num_keypoints,
+                                             self.max_num_gt)
+        if as_uint8:
+            return np.ascontiguousarray(img, np.uint8), label
         return img.astype(np.float32) / 255.0, label
 
 
@@ -268,7 +276,7 @@ class Loader:
                  fixed_shape: Optional[Tuple[int, int]] = None,
                  num_workers: int = 8, seed: int = 0,
                  drop_last: bool = True, backend: str = "auto",
-                 out_uint8: bool = False):
+                 out_uint8: bool = False, out_yuv420: bool = False):
         self.ds = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -279,9 +287,16 @@ class Loader:
         self.pool = ThreadPoolExecutor(max_workers=num_workers) \
             if num_workers > 0 else None
         self.drop_last = drop_last
-        # test-mode option: yield uint8 images (normalize on-device) — 4x
-        # lighter host→device transfer; train paths always yield f32
+        # yield uint8 images (normalize on-device) — 4x lighter host→device
+        # transfer, bit-identical values (u8/255 either side); applies to
+        # test AND train (the augmentation pipeline is uint8 throughout)
         self.out_uint8 = out_uint8
+        # test-mode option: yield native-size YUV 4:2:0 planes (y, cbcr) —
+        # 1.5 B/px, the device converts + resizes (ops/yuv.py); needs the
+        # native decoder and a single shared source resolution
+        self.out_yuv420 = out_yuv420
+        if out_yuv420 and (dataset.train or backend == "python"):
+            raise ValueError("out_yuv420 is a test-mode native-loader option")
         # native C++ fused decode/augment (singleshotpose_tpu/native); only
         # the non-synthesized paths have a native kernel
         self._native = None
@@ -291,7 +306,7 @@ class Loader:
                 from ..native import NativeLoader
                 self._native = NativeLoader(nthreads=max(num_workers, 0))
             except (RuntimeError, OSError, ImportError):
-                if backend == "native":
+                if backend == "native" or out_yuv420:
                     raise
         elif backend == "native" and dataset.synthesizer is not None:
             raise ValueError("native backend does not cover the "
@@ -343,7 +358,8 @@ class Loader:
                 def one(args):
                     i, s = args
                     return self.ds.get_train(int(i), shape,
-                                             np.random.RandomState(int(s)))
+                                             np.random.RandomState(int(s)),
+                                             as_uint8=self.out_uint8)
                 work = list(zip(idxs, seeds))
             else:
                 def one(i):
@@ -436,7 +452,9 @@ class Loader:
             plans = [self.ds.plan_train_sample(int(i),
                                                np.random.RandomState(int(s)))
                      for i, s in zip(idxs, seeds)]
-            imgs = self._native.train_batch(
+            batch_fn = self._native.train_batch_u8 if self.out_uint8 \
+                else self._native.train_batch
+            imgs = batch_fn(
                 [p[0] for p in plans], [p[1] for p in plans],
                 [p[2] for p in plans],
                 np.array([p[3] for p in plans], np.int32),
@@ -444,8 +462,12 @@ class Loader:
             labels = np.stack([p[5] for p in plans])
         else:
             paths = [self.ds.lines[int(i)] for i in idxs]
-            imgs = self._native.test_batch_u8(paths, w, h) if self.out_uint8 \
-                else self._native.test_batch(paths, w, h)
+            if self.out_yuv420:
+                imgs = self._native.test_batch_yuv420(paths)  # (y, cbcr)
+            elif self.out_uint8:
+                imgs = self._native.test_batch_u8(paths, w, h)
+            else:
+                imgs = self._native.test_batch(paths, w, h)
             labels = np.stack([self.ds.get_test_label(int(i))
                                for i in idxs])
         self.seen += len(idxs)

@@ -95,8 +95,17 @@ def loss_config_from_spec(spec: DarknetSpec, *, pretrain_num_epochs: int,
 _FWD_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
-def _eval_forward(spec: DarknetSpec, compute_dtype):
-    key = str(compute_dtype)
+def _eval_forward(spec: DarknetSpec, compute_dtype, transfer: str = "rgb",
+                  out_shape: Optional[Tuple[int, int]] = None):
+    """Jitted eval forward for a transfer mode.
+
+    ``transfer="rgb"``: takes (params, images) — u8 or f32 NHWC at eval size
+    (u8 normalizes on device).  ``transfer="yuv420"``: takes
+    (params, y, cbcr) native-size planes; the device converts + resizes to
+    ``out_shape`` (w, h) before the net (ops/yuv.py) — the transfer-optimal
+    path for bandwidth-limited host↔device links.
+    """
+    key = (str(compute_dtype), transfer, out_shape)
     per_spec = _FWD_CACHE.setdefault(spec, {})
     if key not in per_spec:
         K, C, nA = spec.num_keypoints, spec.num_classes, spec.num_anchors
@@ -104,14 +113,26 @@ def _eval_forward(spec: DarknetSpec, compute_dtype):
         # entry (value → key cycle) and no spec could ever be evicted
         spec_ref = weakref.proxy(spec)
 
-        @jax.jit
-        def forward(p, images):
-            if jnp.issubdtype(images.dtype, jnp.integer):
-                # u8 transfer path: normalize on device (4x lighter h2d)
-                images = images.astype(jnp.float32) / 255.0
-            head = spec_ref.apply_folded(p, images,
-                                         compute_dtype=compute_dtype)
-            return decode_grid(head.astype(jnp.float32), K, C, nA)
+        if transfer == "yuv420":
+            from .ops.yuv import yuv420_to_rgb_resized
+            out_w, out_h = out_shape
+
+            @jax.jit
+            def forward(p, y, cbcr):
+                images = yuv420_to_rgb_resized(y, cbcr, out_w=out_w,
+                                               out_h=out_h)
+                head = spec_ref.apply_folded(p, images,
+                                             compute_dtype=compute_dtype)
+                return decode_grid(head.astype(jnp.float32), K, C, nA)
+        else:
+            @jax.jit
+            def forward(p, images):
+                if jnp.issubdtype(images.dtype, jnp.integer):
+                    # u8 transfer path: normalize on device (4x lighter h2d)
+                    images = images.astype(jnp.float32) / 255.0
+                head = spec_ref.apply_folded(p, images,
+                                             compute_dtype=compute_dtype)
+                return decode_grid(head.astype(jnp.float32), K, C, nA)
 
         per_spec[key] = forward
     return per_spec[key]
@@ -120,7 +141,9 @@ def _eval_forward(spec: DarknetSpec, compute_dtype):
 def _eval_pass(spec: DarknetSpec, params, batch_stats, loader: Loader,
                ctx: EvalContext, *, batched_pick, num_keypoints: int,
                fix_gt_corners: bool = False,
-               compute_dtype=jnp.bfloat16):
+               compute_dtype=jnp.bfloat16,
+               transfer: str = "rgb",
+               out_shape: Optional[Tuple[int, int]] = None):
     """Shared eval loop: forward → decode → pick box → batched metrics.
 
     ``batched_pick(decoded, labels)`` returns either per-image boxes
@@ -132,7 +155,7 @@ def _eval_pass(spec: DarknetSpec, params, batch_stats, loader: Loader,
     """
     folded = fold_batchnorm(spec, params, batch_stats)
     K = num_keypoints
-    forward = _eval_forward(spec, compute_dtype)
+    forward = _eval_forward(spec, compute_dtype, transfer, out_shape)
 
     # async pipeline: the prefetch thread decodes batch i+1 while the device
     # runs batch i (JAX dispatch is non-blocking), and the per-batch box
@@ -141,7 +164,11 @@ def _eval_pass(spec: DarknetSpec, params, batch_stats, loader: Loader,
     # is ~25 ms) per-batch syncs alone would cap eval below 50 fps.
     pending: List[Tuple[jax.Array, np.ndarray]] = []
     for images, labels in prefetch(loader):
-        decoded = forward(folded, jnp.asarray(images))
+        if isinstance(images, tuple):       # yuv420: (y, cbcr) planes
+            decoded = forward(folded, jnp.asarray(images[0]),
+                              jnp.asarray(images[1]))
+        else:
+            decoded = forward(folded, jnp.asarray(images))
         pending.append((batched_pick(decoded, labels), labels))
     all_boxes = jax.device_get([b for b, _ in pending])
 
@@ -182,13 +209,17 @@ def run_validation(datacfg: str, modelcfg: Union[str, DarknetSpec],
                    batch_size: int = 16, num_workers: int = 8,
                    compute_dtype=jnp.bfloat16,
                    save: bool = False,
+                   transfer: str = "rgb",
                    verbose: bool = True) -> Dict[str, float]:
     """Single-object eval (reference ``valid.py``): full 6D metric suite.
 
     Either ``weightfile`` (darknet binary) or (``params``, ``batch_stats``)
     must be given.  ``save=True`` dumps per-frame R/t/corner files under
     ``<backup>/test/{gt,pr}/`` and a consolidated predictions ``.mat``
-    (reference: ``valid.py:186-197,231-233``).
+    (reference: ``valid.py:186-197,231-233``).  ``transfer="yuv420"`` ships
+    native-size YUV 4:2:0 planes and converts + resizes on device — ≥2.9×
+    fewer host→device bytes (needs the native loader; input pixels differ
+    from the RGB path by the chroma round-trip, ≲2 u8 levels).
     """
     dcfg = data_config_from_options(read_data_cfg(datacfg))
     spec = load_spec(modelcfg)
@@ -199,9 +230,11 @@ def run_validation(datacfg: str, modelcfg: Union[str, DarknetSpec],
     ctx = EvalContext.from_data_config(dcfg)
     ds = PoseDataset(dcfg.valid, train=False,
                      num_keypoints=spec.num_keypoints)
+    out_shape = (spec.net.test_width, spec.net.test_height)
     loader = Loader(ds, batch_size, shuffle=False, schedule=None,
-                    fixed_shape=(spec.net.test_width, spec.net.test_height),
-                    num_workers=num_workers, drop_last=False, out_uint8=True)
+                    fixed_shape=out_shape,
+                    num_workers=num_workers, drop_last=False, out_uint8=True,
+                    out_yuv420=transfer == "yuv420")
 
     def pick(decoded, labels):
         return best_boxes(decoded)
@@ -211,7 +244,8 @@ def run_validation(datacfg: str, modelcfg: Union[str, DarknetSpec],
         _log(f"   Number of test samples: {len(ds)}")
     errors, artifacts = _eval_pass(
         spec, params, batch_stats, loader, ctx, batched_pick=pick,
-        num_keypoints=spec.num_keypoints, compute_dtype=compute_dtype)
+        num_keypoints=spec.num_keypoints, compute_dtype=compute_dtype,
+        transfer=transfer, out_shape=out_shape)
     summary = accuracy_summary(errors, ctx.diam)
     if save and artifacts:
         _save_predictions(dcfg, ds, artifacts)
@@ -284,6 +318,7 @@ def run_validation_multi(datacfg: Union[str, DataConfig],
                          conf_thresh: Optional[float] = None,
                          batch_size: int = 16, num_workers: int = 8,
                          compute_dtype=jnp.bfloat16,
+                         transfer: str = "rgb",
                          verbose: bool = True) -> Dict[str, object]:
     """Multi-object OCCLUSION eval for one object (reference
     ``valid_multi.py:20-158``): class-picked boxes, ``fix_corner_order`` on
@@ -318,9 +353,11 @@ def run_validation_multi(datacfg: Union[str, DataConfig],
                      label_path_fn=occlusion_label_path)
     # multi eval runs at the TRAIN resolution (reference valid_multi.py:71
     # uses shape=(model.width, model.height), not test_width)
+    out_shape = (spec.net.width, spec.net.height)
     loader = Loader(ds, batch_size, shuffle=False, schedule=None,
-                    fixed_shape=(spec.net.width, spec.net.height),
-                    num_workers=num_workers, drop_last=False, out_uint8=True)
+                    fixed_shape=out_shape,
+                    num_workers=num_workers, drop_last=False, out_uint8=True,
+                    out_yuv420=transfer == "yuv420")
 
     def pick(decoded, labels):
         if class_id is not None:
@@ -335,7 +372,7 @@ def run_validation_multi(datacfg: Union[str, DataConfig],
     errors, _artifacts = _eval_pass(
         spec, params, batch_stats, loader, ctx, batched_pick=pick,
         num_keypoints=spec.num_keypoints, fix_gt_corners=True,
-        compute_dtype=compute_dtype)
+        compute_dtype=compute_dtype, transfer=transfer, out_shape=out_shape)
     table = multi_accuracy_table(errors.errs_2d)
     if verbose:
         for th, acc in table.items():
@@ -388,6 +425,7 @@ class TrainRunConfig:
     profile_steps: Tuple[int, int] = (5, 10)
     cache_decoded: bool = False        # RAM-cache decoded images across epochs
     loader_backend: str = "auto"       # auto | python | native | device
+    precompile_buckets: bool = False   # pre-pay multi-scale XLA compiles
 
 
 def run_training(datacfg: str, modelcfg: Union[str, DarknetSpec],
@@ -471,7 +509,13 @@ def run_training(datacfg: str, modelcfg: Union[str, DarknetSpec],
                                                  rc.mesh)
     loader = Loader(ds, loader_batch, schedule=SINGLE_SCHEDULE,
                     seen=seen0, num_workers=rc.num_workers, seed=rc.seed,
-                    backend=rc.loader_backend)
+                    backend=rc.loader_backend,
+                    out_uint8=rc.loader_backend != "device")
+    if rc.precompile_buckets:
+        _precompile_buckets(step, state, SINGLE_SCHEDULE.all_widths,
+                            loader_batch, 50 * (2 * spec.num_keypoints + 3),
+                            rc, image_dtype=np.uint8
+                            if rc.loader_backend != "device" else np.float32)
 
     history: Dict[str, List] = {"training_iters": [], "training_losses": [],
                                 "testing_iters": [], "testing_accuracies": [],
@@ -535,6 +579,47 @@ def _multihost_local_shard(ds: PoseDataset, batch_size: int, seen0: int,
     return batch_size // nproc, seen0 // nproc
 
 
+def _place_batch(mesh, images, labels):
+    """Put one host batch on device per the run's mesh mode: multi-host
+    global assembly, single-process mesh sharding, or plain transfer."""
+    if mesh is not None:
+        if jax.process_count() > 1:
+            # multi-host: this process holds only its local shard;
+            # assemble the logically-global batch-sharded array
+            from .parallel.multihost import global_batch
+            return global_batch(mesh, images, labels)
+        from .parallel.sharding import shard_host_batch
+        return shard_host_batch(mesh, images, labels)
+    return jnp.asarray(images), jnp.asarray(labels)
+
+
+def _precompile_buckets(step, state: TrainState, widths, loader_batch: int,
+                        label_dim: int, rc,
+                        image_dtype=np.uint8) -> None:
+    """Pre-pay the per-bucket XLA compiles before epoch 0.
+
+    Multi-scale training draws up to 20 input widths (reference brackets
+    ``dataset.py:66-90``); each is a distinct executable that otherwise
+    compiles lazily mid-epoch.  Executes the step once per width on a
+    THROWAWAY zero state (donation would otherwise consume the real state's
+    buffers) and dummy zero batches, logging per-bucket compile time.
+    """
+    warm = TrainState(jax.tree.map(jnp.zeros_like, state.params),
+                      jax.tree.map(jnp.zeros_like, state.batch_stats),
+                      jax.tree.map(jnp.zeros_like, state.momentum),
+                      jnp.asarray(0, jnp.int32))
+    t_all = time.time()
+    for w in widths:
+        imgs = np.zeros((loader_batch, w, w, 3), image_dtype)
+        lbls = np.zeros((loader_batch, label_dim), np.float32)
+        imgs, lbls = _place_batch(rc.mesh, imgs, lbls)
+        t0 = time.time()
+        warm, stats = step(warm, imgs, lbls, np.float32(0.0), np.int32(0))
+        jax.block_until_ready(stats["loss"])
+        _log(f"precompiled bucket {w}px in {time.time() - t0:.1f}s")
+    _log(f"precompiled {len(widths)} buckets in {time.time() - t_all:.1f}s")
+
+
 def _run_epoch_batches(epoch, loader, step, net, steps, scales, batch_size,
                        nbatches, state_box, pb_box, rc, history):
     """Inner batch loop shared by both trainers: schedule LR per batch,
@@ -548,17 +633,7 @@ def _run_epoch_batches(epoch, loader, step, net, steps, scales, batch_size,
         lr = schedule_lr(net.learning_rate, processed_batches, steps, scales)
         if rc.profile_dir and processed_batches == rc.profile_steps[0]:
             jax.profiler.start_trace(rc.profile_dir)
-        if rc.mesh is not None:
-            if jax.process_count() > 1:
-                # multi-host: this process holds only its local shard;
-                # assemble the logically-global batch-sharded array
-                from .parallel.multihost import global_batch
-                images, labels = global_batch(rc.mesh, images, labels)
-            else:
-                from .parallel.sharding import shard_host_batch
-                images, labels = shard_host_batch(rc.mesh, images, labels)
-        else:
-            images, labels = jnp.asarray(images), jnp.asarray(labels)
+        images, labels = _place_batch(rc.mesh, images, labels)
         state, stats = step(state, images, labels,
                             np.float32(lr / batch_size), np.int32(epoch))
         state_box[0] = state
@@ -720,7 +795,13 @@ def run_training_multi(datacfg: str, modelcfg: Union[str, DarknetSpec],
                                                  rc.mesh)
     loader = Loader(ds, loader_batch, schedule=MULTI_SCHEDULE, seen=seen0,
                     num_workers=rc.num_workers, seed=rc.seed,
-                    backend=rc.loader_backend)
+                    backend=rc.loader_backend,
+                    out_uint8=rc.loader_backend != "device")
+    if rc.precompile_buckets:
+        _precompile_buckets(step, state, MULTI_SCHEDULE.all_widths,
+                            loader_batch, 50 * (2 * spec.num_keypoints + 3),
+                            rc, image_dtype=np.uint8
+                            if rc.loader_backend != "device" else np.float32)
 
     history: Dict[str, List] = {"training_iters": [], "training_losses": [],
                                 "testing_iters": [], "testing_accuracies": []}

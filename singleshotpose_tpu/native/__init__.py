@@ -59,6 +59,9 @@ def load_native() -> Optional[ctypes.CDLL]:
         lib.ssp_train_sample.restype = ctypes.c_int
         lib.ssp_train_batch.restype = None
         lib.ssp_test_batch.restype = None
+        lib.ssp_bg_cache_limit.restype = None
+        lib.ssp_bg_cache_limit.argtypes = [ctypes.c_long]
+        lib.ssp_bg_cache_clear.restype = None
         _lib = lib
         return _lib
 
@@ -82,6 +85,19 @@ class NativeLoader:
         if self.lib is None:
             raise RuntimeError("native loader unavailable (g++/libjpeg/libpng)")
         self.nthreads = nthreads
+
+    def set_bg_cache_limit(self, nbytes: int) -> None:
+        """Cap (and flush) the process-wide background-image LRU cache.
+
+        The train path decodes one random VOC background per sample; repeats
+        hit the cache instead.  Default 1 GiB; 0 disables caching.  Large
+        sources are decoded at DCT scale toward the compositing dims
+        (libjpeg ``scale_denom``) before caching.
+        """
+        self.lib.ssp_bg_cache_limit(ctypes.c_long(nbytes))
+
+    def clear_bg_cache(self) -> None:
+        self.lib.ssp_bg_cache_clear()
 
     def decode(self, path: str) -> np.ndarray:
         """Decode one image to RGB uint8 (H,W,3)."""
@@ -134,6 +150,34 @@ class NativeLoader:
                 f" (codes {status[bad].tolist()})")
         return out
 
+    def train_batch_u8(self, imgpaths: Sequence[str],
+                       maskpaths: Sequence[Optional[str]],
+                       bgpaths: Sequence[Optional[str]],
+                       crops: np.ndarray, hsv: np.ndarray,
+                       out_w: int, out_h: int) -> np.ndarray:
+        """uint8 variant of :meth:`train_batch` — 1/4 the host→device bytes;
+        the device's ``u8/255`` equals the f32 path bit-exactly."""
+        n = len(imgpaths)
+        out = np.empty((n, out_h, out_w, 3), np.uint8)
+        status = np.zeros(n, np.int32)
+        crops = np.ascontiguousarray(crops, np.int32)
+        hsv = np.ascontiguousarray(hsv, np.float32)
+        self.lib.ssp_train_batch_u8(
+            ctypes.c_int(n), _cstr_array(list(imgpaths)),
+            _cstr_array(list(maskpaths)), _cstr_array(list(bgpaths)),
+            crops.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            hsv.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ctypes.c_int(out_w), ctypes.c_int(out_h),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            ctypes.c_int(self.nthreads))
+        bad = np.nonzero(status)[0]
+        if bad.size:
+            raise IOError(
+                f"native train batch failed for {[imgpaths[i] for i in bad]}"
+                f" (codes {status[bad].tolist()})")
+        return out
+
     def test_batch_u8(self, imgpaths: Sequence[str], out_w: int,
                       out_h: int) -> np.ndarray:
         """Decode+resize only, uint8 out — 4x lighter host→device transfer."""
@@ -151,6 +195,43 @@ class NativeLoader:
             raise IOError(
                 f"native test batch failed for {[imgpaths[i] for i in bad]}")
         return out
+
+    def image_dims(self, path: str):
+        """(width, height) from the header only (no pixel decode)."""
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        rc = self.lib.ssp_image_dims(path.encode(), ctypes.byref(w),
+                                     ctypes.byref(h))
+        if rc != 0:
+            raise IOError(f"cannot read image dims: {path}")
+        return w.value, h.value
+
+    def test_batch_yuv420(self, imgpaths: Sequence[str]):
+        """Decode a batch to native-resolution YUV 4:2:0 planes.
+
+        Returns (y (n,H,W) u8, cbcr (n,H/2,W/2,2) u8) — 1.5 bytes/px, the
+        transfer-optimal eval input (JPEG's own colorspace; the device
+        upsamples chroma, applies the BT.601 matrix, and nearest-resizes,
+        see ``ops/yuv.py``).  All images must share one native size.
+        """
+        n = len(imgpaths)
+        w, h = self.image_dims(imgpaths[0])
+        y = np.empty((n, h, w), np.uint8)
+        cbcr = np.empty((n, h // 2, w // 2, 2), np.uint8)
+        status = np.zeros(n, np.int32)
+        self.lib.ssp_test_batch_yuv420(
+            ctypes.c_int(n), _cstr_array(list(imgpaths)),
+            ctypes.c_int(w), ctypes.c_int(h),
+            y.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            cbcr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            ctypes.c_int(self.nthreads))
+        bad = np.nonzero(status)[0]
+        if bad.size:
+            raise IOError(
+                f"native yuv420 batch failed for "
+                f"{[imgpaths[i] for i in bad]} (codes {status[bad].tolist()})")
+        return y, cbcr
 
     def test_batch(self, imgpaths: Sequence[str], out_w: int,
                    out_h: int) -> np.ndarray:

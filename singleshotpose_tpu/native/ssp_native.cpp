@@ -21,7 +21,11 @@
 #include <cstring>
 #include <algorithm>
 #include <atomic>
+#include <list>
+#include <memory>
+#include <mutex>
 #include <thread>
+#include <unordered_map>
 #include <vector>
 
 #include <jpeglib.h>
@@ -47,7 +51,14 @@ void jpeg_err_exit(j_common_ptr cinfo) {
   longjmp(err->jb, 1);
 }
 
-bool decode_jpeg(FILE* f, ImageU8* out) {
+// min_w/min_h > 0 enable DCT decode-at-scale: the largest denominator in
+// {1,2,4,8} keeping the decoded image >= (min_w, min_h) is applied, so a
+// large source headed for a small target never materializes at full
+// resolution (libjpeg scale_num/scale_denom — cheaper than decode+resize).
+// ycbcr=true decodes to full-range BT.601 YCbCr (JPEG's native colorspace —
+// skips libjpeg's color conversion) instead of RGB.
+bool decode_jpeg(FILE* f, ImageU8* out, int min_w, int min_h,
+                 bool ycbcr = false) {
   jpeg_decompress_struct cinfo;
   JpegErr jerr;
   cinfo.err = jpeg_std_error(&jerr.mgr);
@@ -59,7 +70,16 @@ bool decode_jpeg(FILE* f, ImageU8* out) {
   jpeg_create_decompress(&cinfo);
   jpeg_stdio_src(&cinfo, f);
   jpeg_read_header(&cinfo, TRUE);
-  cinfo.out_color_space = JCS_RGB;
+  cinfo.out_color_space = ycbcr ? JCS_YCbCr : JCS_RGB;
+  if (min_w > 0 && min_h > 0) {
+    int denom = 1;
+    while (denom < 8 &&
+           int(cinfo.image_width) >= 2 * denom * min_w &&
+           int(cinfo.image_height) >= 2 * denom * min_h)
+      denom *= 2;
+    cinfo.scale_num = 1;
+    cinfo.scale_denom = denom;
+  }
   jpeg_start_decompress(&cinfo);
   out->w = cinfo.output_width;
   out->h = cinfo.output_height;
@@ -115,7 +135,8 @@ bool decode_png(FILE* f, ImageU8* out) {
   return true;
 }
 
-bool decode_file(const char* path, ImageU8* out) {
+bool decode_file(const char* path, ImageU8* out, int min_w = 0,
+                 int min_h = 0) {
   FILE* f = fopen(path, "rb");
   if (!f) return false;
   uint8_t magic[8] = {0};
@@ -123,29 +144,154 @@ bool decode_file(const char* path, ImageU8* out) {
   rewind(f);
   bool ok = false;
   if (n >= 3 && magic[0] == 0xFF && magic[1] == 0xD8) {
-    ok = decode_jpeg(f, out);
+    ok = decode_jpeg(f, out, min_w, min_h);
   } else if (n >= 8 && png_sig_cmp(magic, 0, 8) == 0) {
-    ok = decode_png(f, out);
+    ok = decode_png(f, out);  // PNG has no cheap decode-at-scale
   }
   fclose(f);
   return ok;
 }
 
+// Decode straight to full-range BT.601 YCbCr (interleaved HWC).  JPEGs skip
+// the RGB conversion entirely; PNGs are converted with the JFIF constants.
+bool decode_file_ycbcr(const char* path, ImageU8* out) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return false;
+  uint8_t magic[8] = {0};
+  size_t n = fread(magic, 1, 8, f);
+  rewind(f);
+  bool ok = false;
+  bool need_convert = false;
+  if (n >= 3 && magic[0] == 0xFF && magic[1] == 0xD8) {
+    ok = decode_jpeg(f, out, 0, 0, /*ycbcr=*/true);
+  } else if (n >= 8 && png_sig_cmp(magic, 0, 8) == 0) {
+    ok = decode_png(f, out);
+    need_convert = ok;
+  }
+  fclose(f);
+  if (need_convert) {
+    size_t npx = size_t(out->w) * out->h;
+    for (size_t i = 0; i < npx; i++) {
+      float r = out->data[i * 3], g = out->data[i * 3 + 1],
+            b = out->data[i * 3 + 2];
+      float y = 0.299f * r + 0.587f * g + 0.114f * b;
+      float cb = 128.0f - 0.168736f * r - 0.331264f * g + 0.5f * b;
+      float cr = 128.0f + 0.5f * r - 0.418688f * g - 0.081312f * b;
+      out->data[i * 3] = uint8_t(std::min(std::max(y + .5f, 0.f), 255.f));
+      out->data[i * 3 + 1] = uint8_t(std::min(std::max(cb + .5f, 0.f), 255.f));
+      out->data[i * 3 + 2] = uint8_t(std::min(std::max(cr + .5f, 0.f), 255.f));
+    }
+  }
+  return ok;
+}
+
+// ------------------------------------------------- background image cache --
+//
+// The train path decodes one randomly-picked VOC background per sample
+// (reference: image.py:129-142 picks + PIL-decodes every time).  Backgrounds
+// repeat across samples/epochs, so a byte-capped LRU keyed by path removes
+// that decode entirely on a hit.  Entries are decoded at scale toward the
+// compositing size (the bg is resized to the foreground dims anyway).
+
+struct BgCache {
+  std::mutex mu;
+  size_t cap = 1ull << 30;  // 1 GiB default; ssp_bg_cache_limit overrides
+  size_t used = 0;
+  std::list<std::string> lru;  // front = most recent
+  struct Entry {
+    std::shared_ptr<const ImageU8> img;
+    std::list<std::string>::iterator it;
+  };
+  std::unordered_map<std::string, Entry> map;
+
+  std::shared_ptr<const ImageU8> get(const std::string& key) {
+    std::lock_guard<std::mutex> lock(mu);
+    auto it = map.find(key);
+    if (it == map.end()) return nullptr;
+    lru.splice(lru.begin(), lru, it->second.it);
+    return it->second.img;
+  }
+
+  void put(const std::string& key, std::shared_ptr<const ImageU8> img) {
+    size_t sz = img->data.size();
+    std::lock_guard<std::mutex> lock(mu);
+    if (cap == 0 || sz > cap || map.count(key)) return;
+    while (used + sz > cap && !lru.empty()) {
+      auto& victim = lru.back();
+      auto vit = map.find(victim);
+      used -= vit->second.img->data.size();
+      map.erase(vit);
+      lru.pop_back();
+    }
+    lru.push_front(key);
+    map.emplace(key, Entry{std::move(img), lru.begin()});
+    used += sz;
+  }
+
+  void clear() {
+    std::lock_guard<std::mutex> lock(mu);
+    map.clear();
+    lru.clear();
+    used = 0;
+  }
+
+  void set_cap(size_t bytes) {
+    std::lock_guard<std::mutex> lock(mu);
+    map.clear();
+    lru.clear();
+    used = 0;
+    cap = bytes;
+  }
+};
+
+BgCache g_bg_cache;
+
+std::shared_ptr<const ImageU8> decode_bg_cached(const char* path, int min_w,
+                                                int min_h) {
+  // the decoded pixels depend on the scale target, so it is part of the key
+  std::string key = std::string(path) + "@" + std::to_string(min_w) + "x" +
+                    std::to_string(min_h);
+  if (auto hit = g_bg_cache.get(key)) return hit;
+  auto img = std::make_shared<ImageU8>();
+  if (!decode_file(path, img.get(), min_w, min_h)) return nullptr;
+  std::shared_ptr<const ImageU8> cimg = std::move(img);
+  g_bg_cache.put(key, cimg);
+  return cimg;
+}
+
 // ------------------------------------------------------------- transforms --
 
-// Center-sample nearest resize (augment.resize_nearest).
+// Center-sample nearest resize (augment.resize_nearest).  Identity is one
+// memcpy; repeated source rows (upscaling) are row-copies of the previous
+// output row instead of re-gathering.
 void resize_nearest(const uint8_t* src, int sh, int sw, uint8_t* dst, int dh,
                     int dw) {
-  std::vector<int> xi(dw), yi(dh);
+  if (sh == dh && sw == dw) {
+    memcpy(dst, src, size_t(sh) * sw * 3);
+    return;
+  }
+  std::vector<int> xi3(dw), yi(dh);
   for (int x = 0; x < dw; x++)
-    xi[x] = std::min(int((x + 0.5) * sw / dw), sw - 1);
+    xi3[x] = std::min(int((x + 0.5) * sw / dw), sw - 1) * 3;
   for (int y = 0; y < dh; y++)
     yi[y] = std::min(int((y + 0.5) * sh / dh), sh - 1);
+  int prev = -1;
   for (int y = 0; y < dh; y++) {
-    const uint8_t* srow = src + size_t(yi[y]) * sw * 3;
     uint8_t* drow = dst + size_t(y) * dw * 3;
-    for (int x = 0; x < dw; x++)
-      memcpy(drow + x * 3, srow + xi[x] * 3, 3);
+    if (yi[y] == prev) {
+      memcpy(drow, drow - size_t(dw) * 3, size_t(dw) * 3);
+      continue;
+    }
+    prev = yi[y];
+    const uint8_t* srow = src + size_t(yi[y]) * sw * 3;
+    uint8_t* d = drow;
+    for (int x = 0; x < dw; x++) {
+      const uint8_t* s = srow + xi3[x];
+      d[0] = s[0];
+      d[1] = s[1];
+      d[2] = s[2];
+      d += 3;
+    }
   }
 }
 
@@ -242,6 +388,13 @@ void distort_hsv(uint8_t* img, int h, int w, float dhue, float dsat,
 
 extern "C" {
 
+// Background-cache controls: byte cap (0 disables caching) and flush.
+void ssp_bg_cache_limit(long bytes) {
+  g_bg_cache.set_cap(bytes < 0 ? 0 : size_t(bytes));
+}
+
+void ssp_bg_cache_clear(void) { g_bg_cache.clear(); }
+
 // Decode to caller buffer (cap bytes). Returns 0 ok, sets *w/*h; -1 I/O or
 // decode error, -2 buffer too small (then *w/*h carry the needed dims).
 int ssp_decode_rgb(const char* path, uint8_t* out, long cap, int* w, int* h) {
@@ -255,26 +408,43 @@ int ssp_decode_rgb(const char* path, uint8_t* out, long cap, int* w, int* h) {
   return 0;
 }
 
-// Fused single-object train sample (PoseDataset.get_train semantics):
+// Fused single-object train sample core (PoseDataset.get_train semantics):
 // decode img+mask+bg, composite, zero-padded crop (pleft,ptop,cw,ch),
-// nearest resize to (out_w,out_h), HSV distort; writes float32 HWC in [0,1].
+// nearest resize to (out_w,out_h), HSV distort → uint8 HWC.
 // bgpath may be NULL (skip composite). Returns 0 ok.
+static int train_sample_u8(const char* imgpath, const char* maskpath,
+                           const char* bgpath, int pleft, int ptop, int cw,
+                           int ch, int out_w, int out_h, float dhue,
+                           float dsat, float dexp, uint8_t* out) {
+  ImageU8 img;
+  if (!decode_file(imgpath, &img)) return -1;
+  if (bgpath && maskpath) {
+    ImageU8 mask;
+    if (!decode_file(maskpath, &mask)) return -2;
+    // backgrounds go through the LRU cache, decoded at scale toward the
+    // compositing dims (they get nearest-resized to the foreground anyway,
+    // so DCT-scaled decode of a large source is visually equivalent and
+    // skips most of the work; LINEMOD-sized sources decode at denom 1,
+    // bit-identical to the Python path)
+    auto bg = decode_bg_cached(bgpath, img.w, img.h);
+    if (!bg) return -3;
+    if (mask.w != img.w || mask.h != img.h) return -4;
+    composite_bg(&img, mask, *bg);
+  }
+  crop_resize(img, pleft, ptop, cw, ch, out, out_w, out_h);
+  distort_hsv(out, out_h, out_w, dhue, dsat, dexp);
+  return 0;
+}
+
+// f32 [0,1] variant (legacy layout; the u8 batch path transfers 4x less).
 int ssp_train_sample(const char* imgpath, const char* maskpath,
                      const char* bgpath, int pleft, int ptop, int cw, int ch,
                      int out_w, int out_h, float dhue, float dsat, float dexp,
                      float* out) {
-  ImageU8 img;
-  if (!decode_file(imgpath, &img)) return -1;
-  if (bgpath && maskpath) {
-    ImageU8 mask, bg;
-    if (!decode_file(maskpath, &mask)) return -2;
-    if (!decode_file(bgpath, &bg)) return -3;
-    if (mask.w != img.w || mask.h != img.h) return -4;
-    composite_bg(&img, mask, bg);
-  }
   std::vector<uint8_t> sized(size_t(out_w) * out_h * 3);
-  crop_resize(img, pleft, ptop, cw, ch, sized.data(), out_w, out_h);
-  distort_hsv(sized.data(), out_h, out_w, dhue, dsat, dexp);
+  int rc = train_sample_u8(imgpath, maskpath, bgpath, pleft, ptop, cw, ch,
+                           out_w, out_h, dhue, dsat, dexp, sized.data());
+  if (rc != 0) return rc;
   size_t n = size_t(out_w) * out_h * 3;
   for (size_t i = 0; i < n; i++) out[i] = sized[i] / 255.0f;
   return 0;
@@ -328,6 +498,32 @@ void ssp_train_batch(int n, const char** imgpaths, const char** maskpaths,
   for (auto& th : threads) th.join();
 }
 
+// uint8 train batch: same augmentation, 1/4 the host→device bytes (the
+// device normalizes — u8/255 there equals the f32/255 here bit-exactly).
+void ssp_train_batch_u8(int n, const char** imgpaths, const char** maskpaths,
+                        const char** bgpaths, const int* crops,
+                        const float* hsv, int out_w, int out_h, uint8_t* out,
+                        int* status, int nthreads) {
+  if (nthreads <= 0) nthreads = int(std::thread::hardware_concurrency());
+  nthreads = std::max(1, std::min(nthreads, n));
+  std::atomic<int> next{0};
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) break;
+      status[i] = train_sample_u8(
+          imgpaths[i], maskpaths ? maskpaths[i] : nullptr,
+          bgpaths ? bgpaths[i] : nullptr, crops[4 * i], crops[4 * i + 1],
+          crops[4 * i + 2], crops[4 * i + 3], out_w, out_h, hsv[3 * i],
+          hsv[3 * i + 1], hsv[3 * i + 2],
+          out + size_t(i) * out_w * out_h * 3);
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 0; t < nthreads; t++) threads.emplace_back(worker);
+  for (auto& th : threads) th.join();
+}
+
 void ssp_test_batch_u8(int n, const char** imgpaths, int out_w, int out_h,
                        uint8_t* out, int* status, int nthreads) {
   if (nthreads <= 0) nthreads = int(std::thread::hardware_concurrency());
@@ -339,6 +535,93 @@ void ssp_test_batch_u8(int n, const char** imgpaths, int out_w, int out_h,
       if (i >= n) break;
       status[i] = ssp_test_sample_u8(imgpaths[i], out_w, out_h,
                                      out + size_t(i) * out_w * out_h * 3);
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 0; t < nthreads; t++) threads.emplace_back(worker);
+  for (auto& th : threads) th.join();
+}
+
+// Header-only image dimensions (no pixel decode). Returns 0 ok.
+int ssp_image_dims(const char* path, int* w, int* h) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  uint8_t magic[8] = {0};
+  size_t n = fread(magic, 1, 8, f);
+  rewind(f);
+  int rc = -1;
+  if (n >= 3 && magic[0] == 0xFF && magic[1] == 0xD8) {
+    jpeg_decompress_struct cinfo;
+    JpegErr jerr;
+    cinfo.err = jpeg_std_error(&jerr.mgr);
+    jerr.mgr.error_exit = jpeg_err_exit;
+    if (!setjmp(jerr.jb)) {
+      jpeg_create_decompress(&cinfo);
+      jpeg_stdio_src(&cinfo, f);
+      jpeg_read_header(&cinfo, TRUE);
+      *w = cinfo.image_width;
+      *h = cinfo.image_height;
+      rc = 0;
+    }
+    jpeg_destroy_decompress(&cinfo);
+  } else if (n >= 8 && png_sig_cmp(magic, 0, 8) == 0) {
+    ImageU8 img;  // libpng has no one-call header read; decode (PNG = rare)
+    rewind(f);
+    if (decode_png(f, &img)) {
+      *w = img.w;
+      *h = img.h;
+      rc = 0;
+    }
+  }
+  fclose(f);
+  return rc;
+}
+
+// Transfer-optimal eval batch: YUV 4:2:0 planes at NATIVE resolution —
+// 1.5 B/px instead of RGB's 3 B/px at the (usually larger) eval size, so a
+// bandwidth-limited host→device link carries ≥2x fewer bytes.  Chroma is
+// 2x2 box-averaged from the decoded YCbCr (the JPEG stored it subsampled to
+// begin with); the device reverses it (upsample + BT.601 matrix + nearest
+// resize on the MXU).  All images must share (w, h); status -5 otherwise.
+// y_out: n*h*w; cbcr_out: n*(h/2)*(w/2)*2 (interleaved Cb,Cr).
+void ssp_test_batch_yuv420(int n, const char** imgpaths, int w, int h,
+                           uint8_t* y_out, uint8_t* cbcr_out, int* status,
+                           int nthreads) {
+  if (nthreads <= 0) nthreads = int(std::thread::hardware_concurrency());
+  nthreads = std::max(1, std::min(nthreads, n));
+  int cw = w / 2, ch = h / 2;
+  std::atomic<int> next{0};
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) break;
+      ImageU8 img;
+      if (!decode_file_ycbcr(imgpaths[i], &img)) {
+        status[i] = -1;
+        continue;
+      }
+      if (img.w != w || img.h != h) {
+        status[i] = -5;
+        continue;
+      }
+      uint8_t* yp = y_out + size_t(i) * w * h;
+      const uint8_t* src = img.data.data();
+      for (size_t p = 0, npx = size_t(w) * h; p < npx; p++)
+        yp[p] = src[p * 3];
+      uint8_t* cp = cbcr_out + size_t(i) * cw * ch * 2;
+      for (int cy = 0; cy < ch; cy++) {
+        const uint8_t* r0 = src + size_t(2 * cy) * w * 3;
+        const uint8_t* r1 = src + size_t(2 * cy + 1) * w * 3;
+        uint8_t* crow = cp + size_t(cy) * cw * 2;
+        for (int cx = 0; cx < cw; cx++) {
+          int x0 = 6 * cx, x1 = 6 * cx + 3;
+          crow[cx * 2] = uint8_t(
+              (r0[x0 + 1] + r0[x1 + 1] + r1[x0 + 1] + r1[x1 + 1] + 2) >> 2);
+          crow[cx * 2 + 1] = uint8_t(
+              (r0[x0 + 2] + r0[x1 + 2] + r1[x0 + 2] + r1[x1 + 2] + 2) >> 2);
+        }
+      }
+      status[i] = 0;
     }
   };
   std::vector<std::thread> threads;

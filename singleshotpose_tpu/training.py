@@ -108,15 +108,23 @@ def make_train_step(net: DarknetSpec, loss_cfg: RegionLossConfig, *,
                     weight_decay: float, momentum: float,
                     compute_dtype=jnp.bfloat16,
                     decay_bn_bias: bool = True,
-                    donate: bool = True):
+                    donate: bool = True,
+                    jit_compile: bool = True):
     """Build the fused jitted train step.
 
     Returns ``step(state, images, target, lr, epoch) -> (state, stats)``.
     ``images`` NHWC float32 in [0,1]; ``target`` (B, 50*(2K+3)); ``lr`` the
     already-/batch_size effective learning rate (device scalar ok); ``epoch``
-    scalar for the pretrain confidence gate.
+    scalar for the pretrain confidence gate.  ``jit_compile=False`` returns
+    the raw traceable function (for embedding in an outer jitted program,
+    e.g. bench.py's on-device chained steps).
     """
     def step(state: TrainState, images, target, lr, epoch):
+        if jnp.issubdtype(images.dtype, jnp.integer):
+            # u8 transfer path: normalize on device (4x lighter h2d,
+            # bit-identical to host-side /255)
+            images = images.astype(jnp.float32) / 255.0
+
         def loss_fn(params):
             out, new_stats = net.apply(params, images,
                                        batch_stats=state.batch_stats,
@@ -132,6 +140,8 @@ def make_train_step(net: DarknetSpec, loss_cfg: RegionLossConfig, *,
         new_seen = state.seen + jnp.asarray(images.shape[0], jnp.int32)
         return TrainState(new_params, new_bstats, new_mom, new_seen), stats
 
+    if not jit_compile:
+        return step
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 

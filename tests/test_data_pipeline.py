@@ -175,3 +175,23 @@ def test_loader_test_batches(tiny_linemod):
     assert imgs.shape == (1, 672, 672, 3)
     assert labels.shape == (1, 50 * 21)
     assert labels[0, 1] != 0
+
+
+def test_loader_train_uint8_bit_exact(tiny_linemod):
+    """u8 train batches normalize to exactly the f32 loader's values (the
+    augmentation pipeline is uint8 throughout; /255 commutes), for both the
+    python and native backends."""
+    lst, bgs = tiny_linemod
+    for backend in ("python", "auto"):
+        ds = PoseDataset(lst, train=True, bg_file_names=bgs)
+        f32 = list(Loader(ds, batch_size=2, schedule=SINGLE_SCHEDULE,
+                          num_workers=0, seed=7, backend=backend))
+        ds2 = PoseDataset(lst, train=True, bg_file_names=bgs)
+        u8 = list(Loader(ds2, batch_size=2, schedule=SINGLE_SCHEDULE,
+                         num_workers=0, seed=7, backend=backend,
+                         out_uint8=True))
+        assert len(f32) == len(u8) == 2
+        for (fi, fl), (ui, ul) in zip(f32, u8):
+            assert ui.dtype == np.uint8
+            np.testing.assert_array_equal(ui.astype(np.float32) / 255.0, fi)
+            np.testing.assert_array_equal(ul, fl)

@@ -170,6 +170,31 @@ def test_train_eval_checkpoint_cycle(synth):
     assert np.isfinite(summary["mean_err_2d"])
 
 
+def test_precompile_buckets_runs_all_widths(synth, monkeypatch, capsys):
+    """precompile_buckets compiles every schedule width before epoch 0 and
+    leaves the training result intact (throwaway warm state, real state
+    untouched)."""
+    import singleshotpose_tpu.drivers as D
+    from singleshotpose_tpu.data.pipeline import MultiScaleSchedule
+
+    datacfg, cfgfile, backup = synth
+    tiny_sched = MultiScaleSchedule(((10, 4, 0), (0, 5, 0)))  # 128, 160 px
+    monkeypatch.setattr(D, "SINGLE_SCHEDULE", tiny_sched)
+
+    rc = TrainRunConfig(eval_every=100, eval_after=100, num_workers=0,
+                        bg_dir="/nonexistent", log_every=100,
+                        max_epochs_override=1, precompile_buckets=True)
+    rc.compute_dtype = None
+    result = run_training(datacfg, cfgfile, None, 100, rc)
+    out = capsys.readouterr().out
+    assert "precompiled bucket 128px" in out
+    assert "precompiled bucket 160px" in out
+    assert np.isfinite(result["history"]["training_losses"]).all()
+    # warmup must not advance the real state's sample counter
+    nsteps = len(result["history"]["training_losses"])
+    assert int(jax.device_get(result["state"].seen)) == 2 * nsteps
+
+
 def test_cli_print_cfg(synth, capsys):
     _, cfgfile, _ = synth
     assert cli_main(["print-cfg", cfgfile]) == 0
