@@ -30,6 +30,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# persistent XLA compilation cache: the bench compiles ~8 executables
+# (inference chain, train chain, eval fwd ×2 transfers, PnP, ...) totalling
+# several minutes; cached, repeat runs start in seconds
+os.makedirs("/tmp/ssp_jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/ssp_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 BASELINE_FPS = 50.0  # Titan X real-time claim from the paper
 BATCH = 128          # throughput-optimal on v5e (32→2.4k, 64→3.1k, 128→4.2k fps)
 SIZE = 416
@@ -121,12 +128,57 @@ def bench_train_step():
     return step_ms, TRAIN_BATCH * TRAIN_CHAIN / dt
 
 
-def _gen_eval_dataset(base: str, n: int) -> str:
+def bench_train_e2e():
+    """End-to-end training throughput: native u8 loader (decode cached after
+    epoch 1 + bg LRU) → h2d → fused donated step, steady-state epoch.
+
+    The reference's whole hot loop (``train.py:76-129`` + DataLoader workers)
+    measured as one number, so host-pipeline regressions are visible.
+    """
+    from singleshotpose_tpu.data.pipeline import PoseDataset, Loader
+    from singleshotpose_tpu.data.prefetch import prefetch
+    from singleshotpose_tpu.ops.losses import RegionLossConfig
+    from singleshotpose_tpu.training import init_train_state, make_train_step
+    from singleshotpose_tpu.zoo import yolo_pose_single
+
+    base = "/tmp/ssp_bench_train"
+    _gen_eval_dataset(base, EVAL_FRAMES, masks=True)
+    net = yolo_pose_single()
+    state = init_train_state(*net.init_params(jax.random.PRNGKey(0)))
+    step = make_train_step(net, RegionLossConfig.single(),
+                           weight_decay=0.0005 * TRAIN_BATCH, momentum=0.9,
+                           compute_dtype=jnp.bfloat16)
+    ds = PoseDataset(f"{base}/test.txt", train=True,
+                     bg_file_names=[f"{base}/bg.jpg"], cache_decoded=True)
+
+    def epoch(state):
+        # fixed 416 (the stage-0 multi-scale width) → one executable
+        loader = Loader(ds, TRAIN_BATCH, schedule=None,
+                        fixed_shape=(SIZE, SIZE), num_workers=2, seed=0,
+                        out_uint8=True)
+        n = 0
+        for images, labels in prefetch(loader):
+            state, stats = step(state, jnp.asarray(images),
+                                jnp.asarray(labels),
+                                np.float32(1e-4), np.int32(100))
+            n += TRAIN_BATCH
+        int(jax.device_get(state.seen))         # real sync
+        return state, n
+
+    state, _ = epoch(state)                     # warm: compile + decode cache
+    t0 = time.perf_counter()
+    state, n = epoch(state)
+    dt = time.perf_counter() - t0
+    return n / dt
+
+
+def _gen_eval_dataset(base: str, n: int, masks: bool = False) -> str:
     """LINEMOD-format synthetic eval set: 640×480 JPEG frames (smooth content
     so decode cost resembles real photos), labels, mesh, .data config."""
     from PIL import Image
     rng = np.random.RandomState(5)
-    for d in ("JPEGImages", "labels"):
+    dirs = ("JPEGImages", "labels") + (("mask",) if masks else ())
+    for d in dirs:
         os.makedirs(f"{base}/obj/{d}", exist_ok=True)
     K = np.array([[572.4114, 0, 325.2611], [0, 573.5704, 242.0489],
                   [0, 0, 1]], np.float32)
@@ -154,6 +206,11 @@ def _gen_eval_dataset(base: str, n: int) -> str:
         name = f"00{i:04d}"
         Image.fromarray(img).save(f"{base}/obj/JPEGImages/{name}.jpg",
                                   quality=85)
+        if masks:
+            m = np.zeros((480, 640), np.uint8)
+            m[max(y0, 0):y0 + 80, max(x0, 0):x0 + 80] = 255
+            # mask path rule: JPEGImages→mask, /00→/ (image.py:131)
+            Image.fromarray(m).save(f"{base}/obj/mask/{name[2:]}.png")
         lab = np.zeros(21, np.float32)
         lab[1:19:2] = pix[:, 0] / 640
         lab[2:19:2] = pix[:, 1] / 480
@@ -162,6 +219,9 @@ def _gen_eval_dataset(base: str, n: int) -> str:
         paths.append(f"{base}/obj/JPEGImages/{name}.jpg")
     with open(f"{base}/test.txt", "w") as f:
         f.write("\n".join(paths) + "\n")
+    if masks:   # one VOC-stand-in background for the train path
+        Image.fromarray((yy % 256).astype(np.uint8)[..., None].repeat(
+            3, axis=-1)).save(f"{base}/bg.jpg", quality=85)
     v = pts[1:]
     ply = ["ply", "format ascii 1.0", f"element vertex {len(v)}",
            "property float x", "property float y", "property float z",
@@ -196,11 +256,13 @@ def bench_eval_e2e():
     for transfer in ("rgb", "yuv420"):
         try:
             run_validation(datacfg, net, transfer=transfer, **kw)  # warm
-            t0 = time.perf_counter()
-            s = run_validation(datacfg, net, transfer=transfer, **kw)
-            dt = time.perf_counter() - t0
-            assert s["n_samples"] == EVAL_FRAMES
-            fps[transfer] = EVAL_FRAMES / dt
+            times = []
+            for _ in range(3):      # median of 3: the shared link is noisy
+                t0 = time.perf_counter()
+                s = run_validation(datacfg, net, transfer=transfer, **kw)
+                times.append(time.perf_counter() - t0)
+                assert s["n_samples"] == EVAL_FRAMES
+            fps[transfer] = EVAL_FRAMES / sorted(times)[1]
         except (RuntimeError, OSError):
             fps[transfer] = None    # native loader unavailable
     return fps
@@ -220,6 +282,10 @@ def main():
         step_ms, tps = bench_train_step()
         extra["train_step_ms_b8"] = round(step_ms, 2)
         extra["train_samples_per_sec"] = round(tps, 1)
+        try:
+            extra["train_e2e_sps"] = round(bench_train_e2e(), 1)
+        except (RuntimeError, OSError):
+            extra["train_e2e_sps"] = None   # native loader unavailable
     if args.only in (None, "eval"):
         eval_fps = bench_eval_e2e()
         extra["eval_e2e_fps"] = round(eval_fps["rgb"], 1) \

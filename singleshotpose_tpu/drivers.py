@@ -96,16 +96,23 @@ _FWD_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _eval_forward(spec: DarknetSpec, compute_dtype, transfer: str = "rgb",
-                  out_shape: Optional[Tuple[int, int]] = None):
-    """Jitted eval forward for a transfer mode.
+                  out_shape: Optional[Tuple[int, int]] = None,
+                  pick: Optional[Tuple] = None):
+    """Jitted eval forward for a transfer mode, optionally with the box pick
+    fused into the same executable.
 
     ``transfer="rgb"``: takes (params, images) — u8 or f32 NHWC at eval size
     (u8 normalizes on device).  ``transfer="yuv420"``: takes
     (params, y, cbcr) native-size planes; the device converts + resizes to
     ``out_shape`` (w, h) before the net (ops/yuv.py) — the transfer-optimal
     path for bandwidth-limited host↔device links.
+
+    ``pick``: None returns the decoded grid; ``("best",)``,
+    ``("per_class", conf_thresh)``, or ``("for_class", cls, conf_thresh)``
+    fuse the corresponding box selection (one dispatch per batch, and the
+    decoded grid never materializes between executables).
     """
-    key = (str(compute_dtype), transfer, out_shape)
+    key = (str(compute_dtype), transfer, out_shape, pick)
     per_spec = _FWD_CACHE.setdefault(spec, {})
     if key not in per_spec:
         K, C, nA = spec.num_keypoints, spec.num_classes, spec.num_anchors
@@ -113,41 +120,50 @@ def _eval_forward(spec: DarknetSpec, compute_dtype, transfer: str = "rgb",
         # entry (value → key cycle) and no spec could ever be evicted
         spec_ref = weakref.proxy(spec)
 
+        def net_and_decode(p, images):
+            if jnp.issubdtype(images.dtype, jnp.integer):
+                # u8 transfer path: normalize on device (4x lighter h2d)
+                images = images.astype(jnp.float32) / 255.0
+            head = spec_ref.apply_folded(p, images,
+                                         compute_dtype=compute_dtype)
+            decoded = decode_grid(head.astype(jnp.float32), K, C, nA)
+            if pick is None:
+                return decoded
+            if pick[0] == "best":
+                return best_boxes(decoded)
+            if pick[0] == "per_class":
+                return best_boxes_per_class(decoded, pick[1])
+            if pick[0] == "for_class":
+                return best_box_for_class(decoded, pick[1], pick[2])
+            raise ValueError(f"unknown pick {pick!r}")
+
         if transfer == "yuv420":
             from .ops.yuv import yuv420_to_rgb_resized
             out_w, out_h = out_shape
 
             @jax.jit
             def forward(p, y, cbcr):
-                images = yuv420_to_rgb_resized(y, cbcr, out_w=out_w,
-                                               out_h=out_h)
-                head = spec_ref.apply_folded(p, images,
-                                             compute_dtype=compute_dtype)
-                return decode_grid(head.astype(jnp.float32), K, C, nA)
+                return net_and_decode(
+                    p, yuv420_to_rgb_resized(y, cbcr, out_w=out_w,
+                                             out_h=out_h))
         else:
-            @jax.jit
-            def forward(p, images):
-                if jnp.issubdtype(images.dtype, jnp.integer):
-                    # u8 transfer path: normalize on device (4x lighter h2d)
-                    images = images.astype(jnp.float32) / 255.0
-                head = spec_ref.apply_folded(p, images,
-                                             compute_dtype=compute_dtype)
-                return decode_grid(head.astype(jnp.float32), K, C, nA)
+            forward = jax.jit(net_and_decode)
 
         per_spec[key] = forward
     return per_spec[key]
 
 
 def _eval_pass(spec: DarknetSpec, params, batch_stats, loader: Loader,
-               ctx: EvalContext, *, batched_pick, num_keypoints: int,
+               ctx: EvalContext, *, pick: Tuple, num_keypoints: int,
                fix_gt_corners: bool = False,
                compute_dtype=jnp.bfloat16,
                transfer: str = "rgb",
                out_shape: Optional[Tuple[int, int]] = None):
-    """Shared eval loop: forward → decode → pick box → batched metrics.
+    """Shared eval loop: (forward → decode → pick box) in ONE executable per
+    batch → batched metrics at the end.
 
-    ``batched_pick(decoded, labels)`` returns either per-image boxes
-    (B, 2K+3) or per-image-per-class boxes (B, C, 2K+3); with the latter,
+    ``pick`` selects the fused box pick (see :func:`_eval_forward`): "best"
+    yields per-image boxes (B, 2K+3); "per_class" yields (B, C, 2K+3) and
     each ground truth is paired with the box of its own class (reference:
     ``valid_multi.py:118-123``).
     Returns (PoseErrors, artifacts dict with corners/metrics/image_idx,
@@ -155,7 +171,7 @@ def _eval_pass(spec: DarknetSpec, params, batch_stats, loader: Loader,
     """
     folded = fold_batchnorm(spec, params, batch_stats)
     K = num_keypoints
-    forward = _eval_forward(spec, compute_dtype, transfer, out_shape)
+    forward = _eval_forward(spec, compute_dtype, transfer, out_shape, pick)
 
     # async pipeline: the prefetch thread decodes batch i+1 while the device
     # runs batch i (JAX dispatch is non-blocking), and the per-batch box
@@ -165,11 +181,11 @@ def _eval_pass(spec: DarknetSpec, params, batch_stats, loader: Loader,
     pending: List[Tuple[jax.Array, np.ndarray]] = []
     for images, labels in prefetch(loader):
         if isinstance(images, tuple):       # yuv420: (y, cbcr) planes
-            decoded = forward(folded, jnp.asarray(images[0]),
-                              jnp.asarray(images[1]))
+            boxes = forward(folded, jnp.asarray(images[0]),
+                            jnp.asarray(images[1]))
         else:
-            decoded = forward(folded, jnp.asarray(images))
-        pending.append((batched_pick(decoded, labels), labels))
+            boxes = forward(folded, jnp.asarray(images))
+        pending.append((boxes, labels))
     all_boxes = jax.device_get([b for b, _ in pending])
 
     # vectorized GT gather (same order as the reference's nested image/GT
@@ -236,14 +252,11 @@ def run_validation(datacfg: str, modelcfg: Union[str, DarknetSpec],
                     num_workers=num_workers, drop_last=False, out_uint8=True,
                     out_yuv420=transfer == "yuv420")
 
-    def pick(decoded, labels):
-        return best_boxes(decoded)
-
     if verbose:
         _log(f"   Testing {dcfg.name}...")
         _log(f"   Number of test samples: {len(ds)}")
     errors, artifacts = _eval_pass(
-        spec, params, batch_stats, loader, ctx, batched_pick=pick,
+        spec, params, batch_stats, loader, ctx, pick=("best",),
         num_keypoints=spec.num_keypoints, compute_dtype=compute_dtype,
         transfer=transfer, out_shape=out_shape)
     summary = accuracy_summary(errors, ctx.diam)
@@ -359,18 +372,17 @@ def run_validation_multi(datacfg: Union[str, DataConfig],
                     num_workers=num_workers, drop_last=False, out_uint8=True,
                     out_yuv420=transfer == "yuv420")
 
-    def pick(decoded, labels):
-        if class_id is not None:
-            return best_box_for_class(decoded, class_id, conf_thresh)
-        # per-class boxes: each GT is paired with the best box of its OWN
-        # class by _eval_pass (reference valid_multi.py:118-123 semantics;
-        # fixes the multi-GT case where the first GT's class was used for all)
-        return best_boxes_per_class(decoded, conf_thresh)
+    # class_id set → the best box of THAT class per image; otherwise
+    # per-class boxes and each GT pairs with the box of its OWN class
+    # (reference valid_multi.py:118-123 semantics; fixes the multi-GT case
+    # where the first GT's class was used for all)
+    pick = ("for_class", class_id, conf_thresh) if class_id is not None \
+        else ("per_class", conf_thresh)
 
     if verbose:
         _log(f"   Testing {name}...")
     errors, _artifacts = _eval_pass(
-        spec, params, batch_stats, loader, ctx, batched_pick=pick,
+        spec, params, batch_stats, loader, ctx, pick=pick,
         num_keypoints=spec.num_keypoints, fix_gt_corners=True,
         compute_dtype=compute_dtype, transfer=transfer, out_shape=out_shape)
     table = multi_accuracy_table(errors.errs_2d)

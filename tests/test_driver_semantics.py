@@ -84,3 +84,70 @@ def test_multi_gt_test_labels_decode_correctly(tmp_path):
     np.testing.assert_allclose(boxes[0], 0.25)
     np.testing.assert_allclose(boxes[1], 0.75)    # corners aligned
     assert (t[:2, 19:21] == 0).all()              # extents zero at eval
+
+
+def test_valid_multi_sweep_on_generated_occlusion_artifacts(tmp_path, capsys):
+    """End-to-end §2.3 artifact flow: zoo.occlusion_datacfg renders
+    occlusion.data, valid-multi sweeps every listed object on it (reference
+    flow: valid_multi.py over multi_obj_pose_estimation/cfg/occlusion.data)."""
+    from PIL import Image
+    from singleshotpose_tpu.cli import main as cli_main
+    from singleshotpose_tpu.config import parse_cfg
+    from singleshotpose_tpu.models.darknet import DarknetSpec
+    from singleshotpose_tpu.weights import save_weights
+    from singleshotpose_tpu.zoo import (LINEMOD_OBJECTS, _OCCLUSION_SWEEP,
+                                        occlusion_datacfg)
+    from test_drivers import TINY_CFG
+
+    rng = np.random.RandomState(0)
+    root = tmp_path / "LINEMOD"
+    for obj in _OCCLUSION_SWEEP:
+        cls = LINEMOD_OBJECTS.index(obj)
+        od = root / obj
+        (od / "JPEGImages").mkdir(parents=True)
+        (od / "labels_occlusion").mkdir()
+        paths = []
+        for i in range(2):
+            Image.fromarray(rng.randint(0, 255, (48, 64, 3), np.uint8)).save(
+                od / "JPEGImages" / f"{i:06d}.jpg")
+            lab = np.zeros(21, np.float32)
+            lab[0] = cls
+            lab[1:19] = rng.uniform(0.3, 0.7, 18)
+            np.savetxt(od / "labels_occlusion" / f"{i:06d}.txt", lab[None])
+            paths.append(str(od / "JPEGImages" / f"{i:06d}.jpg"))
+        (od / "test_occlusion.txt").write_text("\n".join(paths) + "\n")
+        # mesh spanning a small box
+        v = [(sx * .03, sy * .02, sz * .025) for sx in (-1, 1)
+             for sy in (-1, 1) for sz in (-1, 1)]
+        ply = ["ply", "format ascii 1.0", f"element vertex {len(v)}",
+               "property float x", "property float y", "property float z",
+               "element face 0", "property list uchar int vertex_indices",
+               "end_header"] + [f"{a} {b} {c}" for a, b, c in v]
+        (od / f"{obj}.ply").write_text("\n".join(ply) + "\n")
+
+    occ = tmp_path / "occlusion.data"
+    occ.write_text(occlusion_datacfg(linemod_root=str(root),
+                                     backup_root=str(tmp_path / "backup")))
+
+    # tiny 13-class multi net + a darknet-format checkpoint for the CLI
+    cfg = tmp_path / "multi.cfg"
+    cfg.write_text(TINY_CFG
+                   .replace("width=128", "width=64")
+                   .replace("height=128", "height=48")
+                   .replace("filters=20", "filters=64")
+                   .replace("classes=1", "classes=13")
+                   .replace("anchors =", "anchors = 1.5, 2.2, 3.1, 4.0")
+                   .replace("num=1", "num=2"))
+    spec = DarknetSpec(parse_cfg(str(cfg)))
+    import jax
+    params, bstats = spec.init_params(jax.random.PRNGKey(0))
+    wfile = str(tmp_path / "multi.weights")
+    save_weights(spec, params, bstats, wfile, seen=0)
+
+    rv = cli_main(["valid-multi", "--modelcfg", str(cfg),
+                   "--weightfile", wfile, "--datacfg", str(occ)])
+    assert rv == 0
+    out = capsys.readouterr().out
+    for obj in _OCCLUSION_SWEEP:
+        assert f"Testing {obj}" in out
+    assert out.count("Acc using 50 px 2D Projection") == len(_OCCLUSION_SWEEP)

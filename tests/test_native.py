@@ -157,3 +157,46 @@ def test_native_faster_than_python(tmp_path):
     t_nat = run("native")
     # informative bound — native should not be slower
     assert t_nat < t_py * 1.1, (t_nat, t_py)
+
+
+def test_bg_decode_at_scale_stays_close(tmp_path):
+    """A large JPEG background decodes at DCT scale toward the compositing
+    dims (libjpeg scale_denom, cached) — the composite stays visually
+    equivalent to the python path's full-resolution decode."""
+    from PIL import Image
+    from singleshotpose_tpu.data.pipeline import Loader, PoseDataset
+    rng = np.random.RandomState(3)
+    root = tmp_path / "obj"
+    for d in ("JPEGImages", "mask", "labels"):
+        (root / d).mkdir(parents=True)
+    arr = rng.randint(0, 255, (48, 64, 3), np.uint8)
+    p = root / "JPEGImages" / "000000.png"
+    Image.fromarray(arr).save(p)
+    m = np.zeros((48, 64), np.uint8)
+    m[10:30, 20:40] = 255
+    Image.fromarray(m).save(root / "mask" / "0000.png")
+    lab = np.zeros(21, np.float32)
+    lab[1:19] = rng.uniform(0.3, 0.7, 18)
+    lab[19:21] = [0.3, 0.4]
+    np.savetxt(root / "labels" / "000000.txt", lab[None])
+    lst = tmp_path / "train.txt"
+    lst.write_text(str(p) + "\n")
+    # 800x600 smooth background >= 2x the 64x48 foreground in both dims,
+    # so the native path decodes it at scale_denom > 1
+    yy, xx = np.mgrid[0:600, 0:800]
+    big = np.stack([xx % 256, yy % 256, (xx + yy) % 256],
+                   axis=-1).astype(np.uint8)
+    bg = tmp_path / "bg.jpg"
+    Image.fromarray(big).save(bg, quality=92)
+
+    def make(backend):
+        ds = PoseDataset(str(lst), train=True, bg_file_names=[str(bg)])
+        return Loader(ds, batch_size=1, fixed_shape=(96, 96), num_workers=0,
+                      seed=7, backend=backend)
+
+    imgs_py, labels_py = next(iter(make("python")))
+    imgs_nat, labels_nat = next(iter(make("native")))
+    np.testing.assert_allclose(labels_nat, labels_py, rtol=1e-6, atol=1e-6)
+    diff = np.abs(imgs_nat - imgs_py)
+    # not bit-equal (different decode scale) but visually equivalent
+    assert diff.mean() < 0.02, diff.mean()
