@@ -47,8 +47,15 @@ EVAL_FRAMES = 256
 EVAL_BATCH = 48
 
 
-def bench_infer():
-    """Single-chip 416² inference fps (bf16, BN folded, incl. grid decode)."""
+def bench_infer(quantize: bool = False):
+    """Single-chip 416² inference fps incl. grid decode.
+
+    ``quantize=False``: bf16, BN folded. ``quantize=True``: the int8 serving
+    path (models/quantize.py) — per-channel int8 weights, calibrated
+    activation scales, int32 MXU accumulation (v5e runs int8 at 2× bf16 peak;
+    pose-metric parity on trained nets is validated by
+    ``examples/overfit_validation.py --quantize``).
+    """
     from singleshotpose_tpu.models.darknet import fold_batchnorm
     from singleshotpose_tpu.ops.decode import best_boxes, decode_grid
     from singleshotpose_tpu.zoo import yolo_pose_single
@@ -57,12 +64,23 @@ def bench_infer():
     params, bstats = net.init_params(jax.random.PRNGKey(0))
     folded = jax.device_put(fold_batchnorm(net, params, bstats))
     K, C, nA = net.num_keypoints, net.num_classes, net.num_anchors
+    if quantize:
+        from singleshotpose_tpu.models.quantize import (
+            apply_quantized, calibrate_activations, quantize_folded)
+        calib = jnp.asarray(
+            np.random.RandomState(1).rand(8, SIZE, SIZE, 3), jnp.float32)
+        amax = calibrate_activations(net, folded, calib)
+        folded = jax.device_put(quantize_folded(net, folded, amax))
+        fwd = lambda p, x: apply_quantized(net, p, x,
+                                           compute_dtype=jnp.bfloat16)
+    else:
+        fwd = lambda p, x: net.apply_folded(p, x, compute_dtype=jnp.bfloat16)
 
     @partial(jax.jit, static_argnames=("iters",))
     def chained_infer(p, x, iters):
         def body(i, carry):
             x, acc = carry
-            head = net.apply_folded(p, x, compute_dtype=jnp.bfloat16)
+            head = fwd(p, x)
             boxes = best_boxes(decode_grid(head.astype(jnp.float32), K, C, nA))
             # data dependency: next input is perturbed by this step's output
             return (x * 0.999 + jnp.mean(boxes) * 1e-6, acc + boxes)
@@ -278,6 +296,7 @@ def main():
     fps = None
     if args.only in (None, "infer"):
         fps = bench_infer()
+        extra["infer_fps_int8"] = round(bench_infer(quantize=True), 1)
     if args.only in (None, "train"):
         step_ms, tps = bench_train_step()
         extra["train_step_ms_b8"] = round(step_ms, 2)

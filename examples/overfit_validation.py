@@ -46,3 +46,12 @@ summary = run_validation("/tmp/ssp_learn/synth.data", net,
                          params=state.params, batch_stats=state.batch_stats,
                          batch_size=16, num_workers=2, verbose=False)
 print({k: (round(v,2) if isinstance(v,float) else v) for k,v in summary.items()})
+
+if "--quantize" in sys.argv:
+    # int8 serving on the trained net: pose metrics should match bf16 serving
+    q = run_validation("/tmp/ssp_learn/synth.data", net,
+                       params=state.params, batch_stats=state.batch_stats,
+                       batch_size=16, num_workers=2, verbose=False,
+                       quantize=True)
+    print("int8:", {k: (round(v,2) if isinstance(v,float) else v)
+                    for k,v in q.items()})

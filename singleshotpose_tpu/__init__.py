@@ -17,6 +17,12 @@ from . import config  # noqa: F401
 _LAZY = {
     "DarknetSpec": ("singleshotpose_tpu.models.darknet", "DarknetSpec"),
     "fold_batchnorm": ("singleshotpose_tpu.models.darknet", "fold_batchnorm"),
+    "quantize_folded": ("singleshotpose_tpu.models.quantize",
+                        "quantize_folded"),
+    "calibrate_activations": ("singleshotpose_tpu.models.quantize",
+                              "calibrate_activations"),
+    "apply_quantized": ("singleshotpose_tpu.models.quantize",
+                        "apply_quantized"),
     "load_weights": ("singleshotpose_tpu.weights", "load_weights"),
     "load_weights_until_last": ("singleshotpose_tpu.weights",
                                 "load_weights_until_last"),

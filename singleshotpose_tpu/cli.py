@@ -144,6 +144,9 @@ def cmd_valid(argv: Sequence[str]) -> int:
                    help="Orbax checkpoint step (default: latest)")
     p.add_argument("--save", action="store_true",
                    help="dump per-frame R/t/corners + predictions .mat")
+    p.add_argument("--quantize", action="store_true",
+                   help="serve backbone convs in int8 (first-batch "
+                        "calibration; the MXU's 2x throughput mode)")
     args = p.parse_args(argv)
     _require_file(args.datacfg, "data config")
 
@@ -156,10 +159,12 @@ def cmd_valid(argv: Sequence[str]) -> int:
         ckpt.close()
         print(f"evaluating Orbax checkpoint step {step} from {args.orbax_dir}")
         run_validation(args.datacfg, spec, params=state.params,
-                       batch_stats=state.batch_stats, save=args.save)
+                       batch_stats=state.batch_stats, save=args.save,
+                       quantize=args.quantize)
     else:
         _require_file(args.weightfile, "weight file")
-        run_validation(args.datacfg, spec, args.weightfile, save=args.save)
+        run_validation(args.datacfg, spec, args.weightfile, save=args.save,
+                       quantize=args.quantize)
     return 0
 
 

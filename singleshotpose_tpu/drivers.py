@@ -124,8 +124,14 @@ def _eval_forward(spec: DarknetSpec, compute_dtype, transfer: str = "rgb",
             if jnp.issubdtype(images.dtype, jnp.integer):
                 # u8 transfer path: normalize on device (4x lighter h2d)
                 images = images.astype(jnp.float32) / 255.0
-            head = spec_ref.apply_folded(p, images,
-                                         compute_dtype=compute_dtype)
+            if any("wq" in v for v in p.values()):
+                # int8-quantized serving params (models/quantize.py)
+                from .models.quantize import apply_quantized
+                head = apply_quantized(spec_ref, p, images,
+                                       compute_dtype=compute_dtype)
+            else:
+                head = spec_ref.apply_folded(p, images,
+                                             compute_dtype=compute_dtype)
             decoded = decode_grid(head.astype(jnp.float32), K, C, nA)
             if pick is None:
                 return decoded
@@ -158,7 +164,8 @@ def _eval_pass(spec: DarknetSpec, params, batch_stats, loader: Loader,
                fix_gt_corners: bool = False,
                compute_dtype=jnp.bfloat16,
                transfer: str = "rgb",
-               out_shape: Optional[Tuple[int, int]] = None):
+               out_shape: Optional[Tuple[int, int]] = None,
+               quantize: bool = False):
     """Shared eval loop: (forward → decode → pick box) in ONE executable per
     batch → batched metrics at the end.
 
@@ -170,6 +177,20 @@ def _eval_pass(spec: DarknetSpec, params, batch_stats, loader: Loader,
     empty dict if no GT).
     """
     folded = fold_batchnorm(spec, params, batch_stats)
+    if quantize:
+        # int8 serving path: calibrate activation scales on the first batch,
+        # then the whole eval runs the MXU's 2x int8 peak (models/quantize.py)
+        if transfer != "rgb":
+            raise ValueError("quantize=True requires transfer='rgb' "
+                             "(calibration runs on eval-size RGB batches)")
+        from .models.quantize import calibrate_activations, quantize_folded
+        images, _ = next(iter(loader))
+        calib = jnp.asarray(images)
+        if jnp.issubdtype(calib.dtype, jnp.integer):
+            calib = calib.astype(jnp.float32) / 255.0
+        amax = calibrate_activations(spec, folded, calib,
+                                     compute_dtype=compute_dtype)
+        folded = quantize_folded(spec, folded, amax)
     K = num_keypoints
     forward = _eval_forward(spec, compute_dtype, transfer, out_shape, pick)
 
@@ -226,6 +247,7 @@ def run_validation(datacfg: str, modelcfg: Union[str, DarknetSpec],
                    compute_dtype=jnp.bfloat16,
                    save: bool = False,
                    transfer: str = "rgb",
+                   quantize: bool = False,
                    verbose: bool = True) -> Dict[str, float]:
     """Single-object eval (reference ``valid.py``): full 6D metric suite.
 
@@ -236,6 +258,9 @@ def run_validation(datacfg: str, modelcfg: Union[str, DarknetSpec],
     native-size YUV 4:2:0 planes and converts + resizes on device — ≥2.9×
     fewer host→device bytes (needs the native loader; input pixels differ
     from the RGB path by the chroma round-trip, ≲2 u8 levels).
+    ``quantize=True`` serves the backbone convs in int8 (per-channel weights,
+    first-batch-calibrated activation scales — models/quantize.py), the
+    MXU's 2× throughput mode.
     """
     dcfg = data_config_from_options(read_data_cfg(datacfg))
     spec = load_spec(modelcfg)
@@ -258,7 +283,7 @@ def run_validation(datacfg: str, modelcfg: Union[str, DarknetSpec],
     errors, artifacts = _eval_pass(
         spec, params, batch_stats, loader, ctx, pick=("best",),
         num_keypoints=spec.num_keypoints, compute_dtype=compute_dtype,
-        transfer=transfer, out_shape=out_shape)
+        transfer=transfer, out_shape=out_shape, quantize=quantize)
     summary = accuracy_summary(errors, ctx.diam)
     if save and artifacts:
         _save_predictions(dcfg, ds, artifacts)
@@ -332,6 +357,7 @@ def run_validation_multi(datacfg: Union[str, DataConfig],
                          batch_size: int = 16, num_workers: int = 8,
                          compute_dtype=jnp.bfloat16,
                          transfer: str = "rgb",
+                         quantize: bool = False,
                          verbose: bool = True) -> Dict[str, object]:
     """Multi-object OCCLUSION eval for one object (reference
     ``valid_multi.py:20-158``): class-picked boxes, ``fix_corner_order`` on
@@ -384,7 +410,8 @@ def run_validation_multi(datacfg: Union[str, DataConfig],
     errors, _artifacts = _eval_pass(
         spec, params, batch_stats, loader, ctx, pick=pick,
         num_keypoints=spec.num_keypoints, fix_gt_corners=True,
-        compute_dtype=compute_dtype, transfer=transfer, out_shape=out_shape)
+        compute_dtype=compute_dtype, transfer=transfer, out_shape=out_shape,
+        quantize=quantize)
     table = multi_accuracy_table(errors.errs_2d)
     if verbose:
         for th, acc in table.items():

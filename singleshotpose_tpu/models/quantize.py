@@ -1,0 +1,140 @@
+"""int8 post-training quantization for the folded serving path.
+
+A serving-only capability the reference has no analogue for (its inference is
+f32 torch, ``valid.py:83-87``): TPU v5e's MXU runs int8 matmul/conv at 2× the
+bf16 peak (394 vs 197 TOP/s), so a quantized Darknet forward raises the
+inference-fps ceiling well past the bf16 speed-of-light.
+
+Scheme (standard symmetric PTQ, chosen for XLA-fusibility):
+
+- **Weights**: per-output-channel symmetric int8. ``sw[c] = absmax(w[...,c])/127``,
+  ``wq = round(w / sw)``. Per-channel scales cost nothing at serving time —
+  they fold into the one dequant multiply that XLA fuses into the conv
+  epilogue.
+- **Activations**: per-layer static symmetric scales from a calibration pass
+  (absmax of each conv *input* over N representative batches, recorded by
+  running the folded net with a recording ``conv_fn``). Static scales keep
+  the serving graph free of data-dependent reductions.
+- **Dataflow per block**: ``x → round(x/sa) → int8 conv (int32 accum on the
+  MXU) → ×(sa·sw) dequant → +b → leaky``. The quant/dequant elementwise
+  chains fuse into the conv's prologue/epilogue; the MXU does all the work.
+- **Skipped layers** stay in the compute dtype (default bf16): the head conv
+  (a *regression* output — keypoint offsets need more than 8 bits of output
+  scale) and any conv whose input absmax calibrated to 0. The first conv
+  (3 input channels) is quantized but is MXU-starved either way.
+
+Accuracy: quantization error is validated in ``tests/test_quantize.py``
+(head-tensor agreement + decode box agreement vs the bf16 folded path) and
+end-to-end by ``examples/overfit_validation.py --quantize`` (pose metrics on
+a trained net).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, FrozenSet, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from .darknet import ConnectedSpec, ConvSpec, DarknetSpec
+
+__all__ = ["calibrate_activations", "quantize_folded", "apply_quantized",
+           "default_skip_layers"]
+
+_INT8_MAX = 127.0
+
+
+def default_skip_layers(spec: DarknetSpec) -> FrozenSet[str]:
+    """Layers kept un-quantized by default: the final (head) conv.
+
+    The head emits raw keypoint offsets consumed by the decoder at f32
+    precision (``ops/decode.py``); an 8-bit output grid costs ~0.5 px of
+    keypoint resolution at 416², which is visible in the 5-px reprojection
+    metric. Every backbone conv feeds a leaky+BN-folded chain where int8 is
+    lossless in practice.
+    """
+    convs = spec.conv_specs()
+    return frozenset({convs[-1].name}) if convs else frozenset()
+
+
+def calibrate_activations(spec: DarknetSpec, folded_params, images,
+                          *, compute_dtype=jnp.bfloat16) -> Dict[str, float]:
+    """One folded forward over ``images`` recording absmax of each conv input.
+
+    Returns {conv_name: absmax} as host floats. ``images`` is a single
+    representative NHWC batch (concatenate several along batch for a larger
+    calibration set — static shapes keep this one executable).
+    """
+    records: Dict[str, jax.Array] = {}
+
+    @jax.jit
+    def run(p, x):
+        def conv_fn(cspec: ConvSpec, x):
+            records[cspec.name] = jnp.max(jnp.abs(x)).astype(jnp.float32)
+            return DarknetSpec._conv(cspec, x, p[cspec.name]["w"],
+                                     compute_dtype) + p[cspec.name]["b"]
+
+        out = spec._walk(x, conv_fn, p)
+        return out, dict(records)
+
+    _, recs = run(folded_params, images)
+    return {k: float(v) for k, v in jax.device_get(recs).items()}
+
+
+def quantize_folded(spec: DarknetSpec, folded_params,
+                    act_absmax: Dict[str, float],
+                    *, skip_layers: Optional[Sequence[str]] = None):
+    """folded f32 params + calibration absmaxes → int8 serving params.
+
+    Returns a pytree: quantized convs carry ``{"wq": int8 HWIO, "sw": f32[C]
+    (weight scale), "sa": f32 scalar (input activation scale), "b": f32[C]}``;
+    skipped convs and connected layers keep their folded ``{"w","b"}``.
+    """
+    skip = frozenset(skip_layers) if skip_layers is not None \
+        else default_skip_layers(spec)
+    out = {}
+    for lspec in spec.layers:
+        if isinstance(lspec, ConvSpec):
+            p = folded_params[lspec.name]
+            amax = act_absmax.get(lspec.name, 0.0)
+            if lspec.name in skip or amax <= 0.0:
+                out[lspec.name] = {"w": p["w"], "b": p["b"]}
+                continue
+            w = p["w"].astype(jnp.float32)
+            sw = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)),
+                             1e-12) / _INT8_MAX
+            wq = jnp.clip(jnp.round(w / sw), -_INT8_MAX, _INT8_MAX)
+            out[lspec.name] = {
+                "wq": wq.astype(jnp.int8),
+                "sw": sw,
+                "sa": jnp.float32(amax / _INT8_MAX),
+                "b": p["b"].astype(jnp.float32),
+            }
+        elif isinstance(lspec, ConnectedSpec):
+            out[lspec.name] = dict(folded_params[lspec.name])
+    return out
+
+
+def apply_quantized(spec: DarknetSpec, qparams, x: jax.Array,
+                    *, compute_dtype=jnp.bfloat16) -> jax.Array:
+    """Serving forward with int8 convs (int32 MXU accumulation).
+
+    Same contract as :meth:`DarknetSpec.apply_folded`: NHWC float 0..1 in,
+    raw head tensor out. Layers without a ``wq`` entry run in
+    ``compute_dtype`` exactly like the folded path.
+    """
+    from . import layers as L
+
+    def conv_fn(cspec: ConvSpec, x):
+        p = qparams[cspec.name]
+        if "wq" not in p:
+            return DarknetSpec._conv(cspec, x, p["w"], compute_dtype) + p["b"]
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / p["sa"]),
+                      -_INT8_MAX, _INT8_MAX).astype(jnp.int8)
+        y = L.conv2d(xq, p["wq"], cspec.stride, cspec.pad,
+                     preferred_dtype=jnp.int32)
+        scale = (p["sa"] * p["sw"]).astype(jnp.float32)
+        y = y.astype(jnp.float32) * scale + p["b"]
+        return y.astype(compute_dtype) if compute_dtype is not None else y
+
+    return spec._walk(x, conv_fn, qparams)

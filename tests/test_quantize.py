@@ -1,0 +1,131 @@
+"""int8 post-training quantization (models/quantize.py).
+
+Validates the serving-only int8 path against the bf16/f32 folded path: weight
+codec round-trip bounds, head-tensor agreement, skip-layer policy, and decode
+box agreement — the properties that make `--quantize` safe to offer.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from singleshotpose_tpu.models import quantize as Q
+from singleshotpose_tpu.models.darknet import DarknetSpec, fold_batchnorm
+from singleshotpose_tpu.ops.decode import best_boxes, decode_grid
+from singleshotpose_tpu.zoo import yolo_pose_single
+
+
+def _tiny_spec():
+    """4-conv pose-style net (K=9, C=1, 1 anchor, 20-ch head)."""
+    blocks = [
+        {"type": "net", "batch": "8", "channels": "3", "width": "64",
+         "height": "64", "num_keypoints": "9"},
+        {"type": "convolutional", "batch_normalize": "1", "filters": "16",
+         "size": "3", "stride": "1", "pad": "1", "activation": "leaky"},
+        {"type": "maxpool", "size": "2", "stride": "2"},
+        {"type": "convolutional", "batch_normalize": "1", "filters": "32",
+         "size": "3", "stride": "2", "pad": "1", "activation": "leaky"},
+        {"type": "convolutional", "batch_normalize": "1", "filters": "64",
+         "size": "3", "stride": "2", "pad": "1", "activation": "leaky"},
+        {"type": "convolutional", "batch_normalize": "0", "filters": "20",
+         "size": "1", "stride": "1", "pad": "1", "activation": "linear"},
+        {"type": "region", "anchors": "", "classes": "1", "coords": "18",
+         "num": "1", "object_scale": "5", "noobject_scale": "0.1",
+         "thresh": "0.6"},
+    ]
+    return DarknetSpec(blocks)
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    spec = _tiny_spec()
+    params, bstats = spec.init_params(jax.random.PRNGKey(3))
+    # non-trivial BN stats so folding isn't an identity
+    rng = np.random.RandomState(11)
+    for name in bstats:
+        n = bstats[name]["mean"].shape[0]
+        bstats[name] = {"mean": jnp.asarray(rng.randn(n).astype(np.float32) * .1),
+                        "var": jnp.asarray(rng.rand(n).astype(np.float32) + .5)}
+    folded = fold_batchnorm(spec, params, bstats)
+    x = jnp.asarray(np.random.RandomState(0).rand(4, 64, 64, 3), jnp.float32)
+    amax = Q.calibrate_activations(spec, folded, x, compute_dtype=None)
+    qp = Q.quantize_folded(spec, folded, amax)
+    return spec, folded, qp, amax, x
+
+
+def test_calibration_covers_every_conv(tiny):
+    spec, _, _, amax, _ = tiny
+    assert set(amax) == {c.name for c in spec.conv_specs()}
+    assert all(v > 0 for v in amax.values())
+
+
+def test_weight_roundtrip_error_bounded(tiny):
+    """|wq*sw - w| ≤ sw/2 per element (symmetric round-to-nearest)."""
+    spec, folded, qp, _, _ = tiny
+    for c in spec.conv_specs():
+        p = qp[c.name]
+        if "wq" not in p:
+            continue
+        w = np.asarray(folded[c.name]["w"], np.float32)
+        deq = np.asarray(p["wq"], np.float32) * np.asarray(p["sw"])
+        assert np.all(np.abs(deq - w) <= np.asarray(p["sw"]) * 0.5 + 1e-7)
+
+
+def test_head_layer_skipped_by_default(tiny):
+    spec, _, qp, _, _ = tiny
+    head = spec.conv_specs()[-1].name
+    assert "wq" not in qp[head] and "w" in qp[head]
+    # every backbone conv IS quantized
+    for c in spec.conv_specs()[:-1]:
+        assert "wq" in qp[c.name], c.name
+
+
+def test_quantized_forward_close_to_folded(tiny):
+    spec, folded, qp, _, x = tiny
+    ref = np.asarray(jax.jit(
+        lambda p, x: spec.apply_folded(p, x, compute_dtype=None))(folded, x))
+    out = np.asarray(jax.jit(
+        lambda p, x: Q.apply_quantized(spec, p, x, compute_dtype=None))(qp, x))
+    scale = np.abs(ref).mean()
+    rel = np.abs(out - ref).mean() / scale
+    assert rel < 0.03, f"relative head error {rel:.4f}"
+    assert np.abs(out - ref).max() / scale < 0.3
+
+
+def test_quantized_decode_box_agreement(tiny):
+    """The served quantity is the decoded box: centroid within a fraction of
+    a cell, confidence within a few percent."""
+    spec, folded, qp, _, x = tiny
+    K, C, nA = spec.num_keypoints, spec.num_classes, spec.num_anchors
+    def run(fwd, p):
+        head = jax.jit(fwd)(p, x).astype(jnp.float32)
+        return np.asarray(best_boxes(decode_grid(head, K, C, nA)))
+    ref = run(lambda p, x_: spec.apply_folded(p, x_, compute_dtype=None), folded)
+    out = run(lambda p, x_: Q.apply_quantized(spec, p, x_, compute_dtype=None), qp)
+    # grid-normalized keypoints: 0.05 grid cells ≈ 1.6 px at 416²
+    assert np.abs(out[:, :2 * K] - ref[:, :2 * K]).max() < 0.05
+    assert np.abs(out[:, 2 * K] - ref[:, 2 * K]).max() < 0.05  # det conf
+
+
+def test_zero_absmax_layer_falls_back_to_float(tiny):
+    spec, folded, _, amax, _ = tiny
+    first = spec.conv_specs()[0].name
+    qp = Q.quantize_folded(spec, folded, {**amax, first: 0.0})
+    assert "wq" not in qp[first]
+
+
+def test_full_zoo_net_quantizes(tiny):
+    """The flagship yolo-pose net: quantize and run one small forward."""
+    spec = yolo_pose_single()
+    params, bstats = spec.init_params(jax.random.PRNGKey(0))
+    folded = fold_batchnorm(spec, params, bstats)
+    x = jnp.asarray(np.random.RandomState(1).rand(1, 64, 64, 3), jnp.float32)
+    amax = Q.calibrate_activations(spec, folded, x, compute_dtype=None)
+    qp = Q.quantize_folded(spec, folded, amax)
+    ref = np.asarray(spec.apply_folded(folded, x, compute_dtype=None))
+    out = np.asarray(Q.apply_quantized(spec, qp, x, compute_dtype=None))
+    assert out.shape == ref.shape == (1, 2, 2, 20)
+    rel = np.abs(out - ref).mean() / np.abs(ref).mean()
+    assert rel < 0.06, f"relative head error {rel:.4f} on 23-conv net"
