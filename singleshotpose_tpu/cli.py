@@ -147,6 +147,8 @@ def cmd_valid(argv: Sequence[str]) -> int:
     p.add_argument("--quantize", action="store_true",
                    help="serve backbone convs in int8 (first-batch "
                         "calibration; the MXU's 2x throughput mode)")
+    p.add_argument("--dp", type=int, default=0,
+                   help="shard eval batches over N devices (0 = single)")
     args = p.parse_args(argv)
     _require_file(args.datacfg, "data config")
 
@@ -160,11 +162,11 @@ def cmd_valid(argv: Sequence[str]) -> int:
         print(f"evaluating Orbax checkpoint step {step} from {args.orbax_dir}")
         run_validation(args.datacfg, spec, params=state.params,
                        batch_stats=state.batch_stats, save=args.save,
-                       quantize=args.quantize)
+                       quantize=args.quantize, mesh=_mesh_from_dp(args.dp))
     else:
         _require_file(args.weightfile, "weight file")
         run_validation(args.datacfg, spec, args.weightfile, save=args.save,
-                       quantize=args.quantize)
+                       quantize=args.quantize, mesh=_mesh_from_dp(args.dp))
     return 0
 
 

@@ -165,7 +165,8 @@ def _eval_pass(spec: DarknetSpec, params, batch_stats, loader: Loader,
                compute_dtype=jnp.bfloat16,
                transfer: str = "rgb",
                out_shape: Optional[Tuple[int, int]] = None,
-               quantize: bool = False):
+               quantize: bool = False,
+               mesh=None):
     """Shared eval loop: (forward → decode → pick box) in ONE executable per
     batch → batched metrics at the end.
 
@@ -175,6 +176,12 @@ def _eval_pass(spec: DarknetSpec, params, batch_stats, loader: Loader,
     ``valid_multi.py:118-123``).
     Returns (PoseErrors, artifacts dict with corners/metrics/image_idx,
     empty dict if no GT).
+
+    ``mesh``: a ("data","model") Mesh for multi-chip eval — batches shard
+    over the ``data`` axis, params follow the TP output-channel rule
+    (``parallel/sharding.py``; GSPMD inserts the collectives).  Ragged tail
+    batches are zero-padded up to a multiple of the data-axis size; padded
+    rows have no labels so they never reach the metrics.
     """
     folded = fold_batchnorm(spec, params, batch_stats)
     if quantize:
@@ -194,6 +201,30 @@ def _eval_pass(spec: DarknetSpec, params, batch_stats, loader: Loader,
     K = num_keypoints
     forward = _eval_forward(spec, compute_dtype, transfer, out_shape, pick)
 
+    dp = 1
+    if mesh is not None:
+        from .parallel.sharding import (batch_sharding,
+                                        folded_param_shardings, replicated)
+        dp = int(mesh.shape["data"])
+        if quantize:
+            # int8 pytree ({"wq","sw","sa","b"}): replicate; the batch axis
+            # still shards, which is where multi-chip eval wins anyway
+            folded = jax.tree.map(
+                lambda a: jax.device_put(a, replicated(mesh)), folded)
+        else:
+            folded = jax.tree.map(jax.device_put, folded,
+                                  folded_param_shardings(spec, mesh))
+
+        def _shard(a):
+            a = np.asarray(a)
+            if a.shape[0] % dp:                 # zero-pad the ragged tail
+                pad = (-a.shape[0]) % dp
+                a = np.concatenate(
+                    [a, np.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
+            return jax.device_put(a, batch_sharding(mesh, a.ndim))
+    else:
+        _shard = jnp.asarray
+
     # async pipeline: the prefetch thread decodes batch i+1 while the device
     # runs batch i (JAX dispatch is non-blocking), and the per-batch box
     # picks stay ON DEVICE — one device_get at the end syncs everything.
@@ -202,10 +233,9 @@ def _eval_pass(spec: DarknetSpec, params, batch_stats, loader: Loader,
     pending: List[Tuple[jax.Array, np.ndarray]] = []
     for images, labels in prefetch(loader):
         if isinstance(images, tuple):       # yuv420: (y, cbcr) planes
-            boxes = forward(folded, jnp.asarray(images[0]),
-                            jnp.asarray(images[1]))
+            boxes = forward(folded, _shard(images[0]), _shard(images[1]))
         else:
-            boxes = forward(folded, jnp.asarray(images))
+            boxes = forward(folded, _shard(images))
         pending.append((boxes, labels))
     all_boxes = jax.device_get([b for b, _ in pending])
 
@@ -248,6 +278,7 @@ def run_validation(datacfg: str, modelcfg: Union[str, DarknetSpec],
                    save: bool = False,
                    transfer: str = "rgb",
                    quantize: bool = False,
+                   mesh=None,
                    verbose: bool = True) -> Dict[str, float]:
     """Single-object eval (reference ``valid.py``): full 6D metric suite.
 
@@ -260,7 +291,8 @@ def run_validation(datacfg: str, modelcfg: Union[str, DarknetSpec],
     from the RGB path by the chroma round-trip, ≲2 u8 levels).
     ``quantize=True`` serves the backbone convs in int8 (per-channel weights,
     first-batch-calibrated activation scales — models/quantize.py), the
-    MXU's 2× throughput mode.
+    MXU's 2× throughput mode.  ``mesh``: a ("data","model") Mesh for
+    multi-chip eval (batch shards over ``data``; ragged tails zero-padded).
     """
     dcfg = data_config_from_options(read_data_cfg(datacfg))
     spec = load_spec(modelcfg)
@@ -283,7 +315,7 @@ def run_validation(datacfg: str, modelcfg: Union[str, DarknetSpec],
     errors, artifacts = _eval_pass(
         spec, params, batch_stats, loader, ctx, pick=("best",),
         num_keypoints=spec.num_keypoints, compute_dtype=compute_dtype,
-        transfer=transfer, out_shape=out_shape, quantize=quantize)
+        transfer=transfer, out_shape=out_shape, quantize=quantize, mesh=mesh)
     summary = accuracy_summary(errors, ctx.diam)
     if save and artifacts:
         _save_predictions(dcfg, ds, artifacts)
@@ -358,6 +390,7 @@ def run_validation_multi(datacfg: Union[str, DataConfig],
                          compute_dtype=jnp.bfloat16,
                          transfer: str = "rgb",
                          quantize: bool = False,
+                         mesh=None,
                          verbose: bool = True) -> Dict[str, object]:
     """Multi-object OCCLUSION eval for one object (reference
     ``valid_multi.py:20-158``): class-picked boxes, ``fix_corner_order`` on
@@ -411,7 +444,7 @@ def run_validation_multi(datacfg: Union[str, DataConfig],
         spec, params, batch_stats, loader, ctx, pick=pick,
         num_keypoints=spec.num_keypoints, fix_gt_corners=True,
         compute_dtype=compute_dtype, transfer=transfer, out_shape=out_shape,
-        quantize=quantize)
+        quantize=quantize, mesh=mesh)
     table = multi_accuracy_table(errors.errs_2d)
     if verbose:
         for th, acc in table.items():

@@ -30,7 +30,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..models.darknet import ConnectedSpec, ConvSpec, DarknetSpec
 
 __all__ = ["make_mesh", "batch_sharding", "param_shardings",
-           "batch_stats_shardings", "replicated", "shard_host_batch"]
+           "batch_stats_shardings", "replicated", "shard_host_batch",
+           "folded_param_shardings"]
 
 
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
@@ -103,6 +104,22 @@ def param_shardings(net: DarknetSpec, mesh: Mesh) -> Dict[str, Dict[str, NamedSh
                 "w": NamedSharding(mesh, P()),
                 "b": NamedSharding(mesh, P()),
             }
+    return out
+
+
+def folded_param_shardings(net: DarknetSpec, mesh: Mesh) -> Dict[str, Dict[str, NamedSharding]]:
+    """Shardings for the BN-folded serving pytree ({"w","b"} per conv):
+    same TP rule as :func:`param_shardings` (output channels over "model")."""
+    mp = mesh.shape["model"]
+    out: Dict[str, Dict[str, NamedSharding]] = {}
+    for lspec in net.layers:
+        if isinstance(lspec, ConvSpec):
+            out[lspec.name] = {
+                "w": NamedSharding(mesh, _conv_w_spec(lspec, mp)),
+                "b": NamedSharding(mesh, _chan_spec(lspec, mp)),
+            }
+        elif isinstance(lspec, ConnectedSpec):
+            out[lspec.name] = {"w": replicated(mesh), "b": replicated(mesh)}
     return out
 
 

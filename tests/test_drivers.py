@@ -204,3 +204,46 @@ def test_cli_print_cfg(synth, capsys):
 
 def test_cli_unknown_command(capsys):
     assert cli_main(["frobnicate"]) == 2
+
+
+def test_sharded_eval_matches_single_device(synth):
+    """run_validation over an 8-device ("data","model") mesh == single-device
+    (f32 compute; batch 4 over dp=4 forces a zero-padded ragged tail on the
+    6-image set)."""
+    from singleshotpose_tpu.parallel.sharding import make_mesh
+
+    datacfg, cfgfile, _ = synth
+    spec = DarknetSpec(parse_cfg(cfgfile))
+    params, bstats = spec.init_params(jax.random.PRNGKey(5))
+
+    kw = dict(params=params, batch_stats=bstats, batch_size=4,
+              num_workers=0, compute_dtype=None, verbose=False)
+    base = run_validation(datacfg, spec, **kw)
+    mesh = make_mesh(jax.devices()[:8], mp=2)      # dp=4, mp=2
+    sharded = run_validation(datacfg, spec, mesh=mesh, **kw)
+
+    assert sharded["n_samples"] == base["n_samples"] == 6
+    for k in base:
+        np.testing.assert_allclose(sharded[k], base[k], rtol=1e-4, atol=1e-5,
+                                   err_msg=k)
+
+
+def test_sharded_eval_quantized(synth):
+    """int8 serving under a mesh: params replicate, batch shards; metrics
+    finite and close to the unsharded quantized run."""
+    from singleshotpose_tpu.parallel.sharding import make_mesh
+
+    datacfg, cfgfile, _ = synth
+    spec = DarknetSpec(parse_cfg(cfgfile))
+    params, bstats = spec.init_params(jax.random.PRNGKey(5))
+
+    kw = dict(params=params, batch_stats=bstats, batch_size=6,
+              num_workers=0, compute_dtype=None, verbose=False,
+              quantize=True)
+    base = run_validation(datacfg, spec, **kw)
+    mesh = make_mesh(jax.devices()[:4], mp=1)      # pure DP
+    sharded = run_validation(datacfg, spec, mesh=mesh, **kw)
+    assert sharded["n_samples"] == 6
+    for k in base:
+        np.testing.assert_allclose(sharded[k], base[k], rtol=1e-4, atol=1e-5,
+                                   err_msg=k)
