@@ -1,8 +1,9 @@
 """Command-line entry points mirroring the reference drivers.
 
   python -m singleshotpose_tpu.cli train       --datacfg --modelcfg --initweightfile --pretrain_num_epochs
-  python -m singleshotpose_tpu.cli valid       --datacfg --modelcfg --weightfile
+  python -m singleshotpose_tpu.cli valid       --datacfg --modelcfg --weightfile [--quantize [Q.npz]] [--dp N]
   python -m singleshotpose_tpu.cli valid-multi --modelcfg --weightfile [--datacfgs ...]
+  python -m singleshotpose_tpu.cli quantize    --datacfg --modelcfg --weightfile --out Q.npz
   python -m singleshotpose_tpu.cli print-cfg   <cfgfile>
 
 Flags match ``train.py:276-281``, ``valid.py:238-242``,
@@ -144,9 +145,12 @@ def cmd_valid(argv: Sequence[str]) -> int:
                    help="Orbax checkpoint step (default: latest)")
     p.add_argument("--save", action="store_true",
                    help="dump per-frame R/t/corners + predictions .mat")
-    p.add_argument("--quantize", action="store_true",
-                   help="serve backbone convs in int8 (first-batch "
-                        "calibration; the MXU's 2x throughput mode)")
+    p.add_argument("--quantize", nargs="?", const=True, default=False,
+                   metavar="QNPZ",
+                   help="serve backbone convs in int8 (the MXU's 2x "
+                        "throughput mode): bare flag calibrates on the "
+                        "first batch; pass a .npz from `ssp quantize` to "
+                        "serve a pre-quantized artifact")
     p.add_argument("--dp", type=int, default=0,
                    help="shard eval batches over N devices (0 = single)")
     args = p.parse_args(argv)
@@ -199,6 +203,56 @@ def cmd_valid_multi(argv: Sequence[str]) -> int:
     return 0
 
 
+def cmd_quantize(argv: Sequence[str]) -> int:
+    """Produce a deployable int8 serving artifact from darknet weights."""
+    p = argparse.ArgumentParser(
+        prog="ssp quantize",
+        description="calibrate + quantize a trained net to an int8 .npz")
+    p.add_argument("--datacfg", type=str, required=True,
+                   help=".data whose valid list supplies calibration images")
+    p.add_argument("--modelcfg", type=str, default="cfg/yolo-pose.cfg")
+    p.add_argument("--weightfile", type=str, required=True)
+    p.add_argument("--out", type=str, required=True, help="output .npz path")
+    p.add_argument("--calib_images", type=int, default=32,
+                   help="number of calibration images (one static batch)")
+    args = p.parse_args(argv)
+    _require_file(args.datacfg, "data config")
+    _require_file(args.weightfile, "weight file")
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from . import weights as W
+    from .config import data_config_from_options, read_data_cfg
+    from .data.pipeline import Loader, PoseDataset
+    from .models.darknet import fold_batchnorm
+    from .models.quantize import (calibrate_activations, quantize_folded,
+                                  save_quantized)
+
+    spec = _resolve_model(args.modelcfg)
+    from .drivers import load_spec
+    spec = load_spec(spec)
+    _, params, bstats = W.load_weights(spec, args.weightfile)
+    folded = fold_batchnorm(spec, params, bstats)
+
+    dcfg = data_config_from_options(read_data_cfg(args.datacfg))
+    ds = PoseDataset(dcfg.valid, train=False,
+                     num_keypoints=spec.num_keypoints)
+    n = min(args.calib_images, len(ds))
+    loader = Loader(ds, n, shuffle=False, schedule=None,
+                    fixed_shape=(spec.net.test_width, spec.net.test_height),
+                    num_workers=2, drop_last=False, out_uint8=True)
+    images, _ = next(iter(loader))
+    calib = jnp.asarray(np.asarray(images)).astype(jnp.float32) / 255.0
+    amax = calibrate_activations(spec, folded, calib)
+    qp = quantize_folded(spec, folded, amax)
+    save_quantized(args.out, jax.device_get(qp))
+    nq = sum(1 for v in qp.values() if "wq" in v)
+    print(f"quantized {nq}/{len(qp)} conv layers on {n} calibration images "
+          f"-> {args.out}")
+    return 0
+
+
 def cmd_print_cfg(argv: Sequence[str]) -> int:
     from .config import parse_cfg, print_cfg
     if not argv:
@@ -213,6 +267,7 @@ COMMANDS = {
     "train-multi": cmd_train_multi,
     "valid": cmd_valid,
     "valid-multi": cmd_valid_multi,
+    "quantize": cmd_quantize,
     "print-cfg": cmd_print_cfg,
 }
 

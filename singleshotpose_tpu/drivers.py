@@ -165,7 +165,7 @@ def _eval_pass(spec: DarknetSpec, params, batch_stats, loader: Loader,
                compute_dtype=jnp.bfloat16,
                transfer: str = "rgb",
                out_shape: Optional[Tuple[int, int]] = None,
-               quantize: bool = False,
+               quantize: Union[bool, str] = False,
                mesh=None):
     """Shared eval loop: (forward → decode → pick box) in ONE executable per
     batch → batched metrics at the end.
@@ -185,19 +185,26 @@ def _eval_pass(spec: DarknetSpec, params, batch_stats, loader: Loader,
     """
     folded = fold_batchnorm(spec, params, batch_stats)
     if quantize:
-        # int8 serving path: calibrate activation scales on the first batch,
-        # then the whole eval runs the MXU's 2x int8 peak (models/quantize.py)
+        # int8 serving path (models/quantize.py): the whole eval runs the
+        # MXU's 2x int8 peak.  quantize=True calibrates activation scales on
+        # the first batch; quantize="<path>.npz" loads a pre-quantized
+        # artifact written by `ssp quantize` / save_quantized.
         if transfer != "rgb":
-            raise ValueError("quantize=True requires transfer='rgb' "
+            raise ValueError("quantize requires transfer='rgb' "
                              "(calibration runs on eval-size RGB batches)")
-        from .models.quantize import calibrate_activations, quantize_folded
-        images, _ = next(iter(loader))
-        calib = jnp.asarray(images)
-        if jnp.issubdtype(calib.dtype, jnp.integer):
-            calib = calib.astype(jnp.float32) / 255.0
-        amax = calibrate_activations(spec, folded, calib,
-                                     compute_dtype=compute_dtype)
-        folded = quantize_folded(spec, folded, amax)
+        if isinstance(quantize, str):
+            from .models.quantize import load_quantized
+            folded = load_quantized(quantize)
+        else:
+            from .models.quantize import (calibrate_activations,
+                                          quantize_folded)
+            images, _ = next(iter(loader))
+            calib = jnp.asarray(images)
+            if jnp.issubdtype(calib.dtype, jnp.integer):
+                calib = calib.astype(jnp.float32) / 255.0
+            amax = calibrate_activations(spec, folded, calib,
+                                         compute_dtype=compute_dtype)
+            folded = quantize_folded(spec, folded, amax)
     K = num_keypoints
     forward = _eval_forward(spec, compute_dtype, transfer, out_shape, pick)
 
@@ -277,7 +284,7 @@ def run_validation(datacfg: str, modelcfg: Union[str, DarknetSpec],
                    compute_dtype=jnp.bfloat16,
                    save: bool = False,
                    transfer: str = "rgb",
-                   quantize: bool = False,
+                   quantize: Union[bool, str] = False,
                    mesh=None,
                    verbose: bool = True) -> Dict[str, float]:
     """Single-object eval (reference ``valid.py``): full 6D metric suite.
@@ -389,7 +396,7 @@ def run_validation_multi(datacfg: Union[str, DataConfig],
                          batch_size: int = 16, num_workers: int = 8,
                          compute_dtype=jnp.bfloat16,
                          transfer: str = "rgb",
-                         quantize: bool = False,
+                         quantize: Union[bool, str] = False,
                          mesh=None,
                          verbose: bool = True) -> Dict[str, object]:
     """Multi-object OCCLUSION eval for one object (reference

@@ -39,7 +39,7 @@ import jax.numpy as jnp
 from .darknet import ConnectedSpec, ConvSpec, DarknetSpec
 
 __all__ = ["calibrate_activations", "quantize_folded", "apply_quantized",
-           "default_skip_layers"]
+           "default_skip_layers", "save_quantized", "load_quantized"]
 
 _INT8_MAX = 127.0
 
@@ -112,6 +112,30 @@ def quantize_folded(spec: DarknetSpec, folded_params,
             }
         elif isinstance(lspec, ConnectedSpec):
             out[lspec.name] = dict(folded_params[lspec.name])
+    return out
+
+
+def save_quantized(path: str, qparams) -> None:
+    """Serialize an int8 serving pytree to ``.npz`` (keys ``layer/field``).
+
+    The deployable artifact: calibrate + quantize once (``ssp quantize``),
+    then serve from this file without the f32 weights or calibration data.
+    """
+    import numpy as np
+    flat = {f"{layer}/{field}": np.asarray(v)
+            for layer, d in qparams.items() for field, v in d.items()}
+    np.savez(path, **flat)
+
+
+def load_quantized(path: str):
+    """Load a pytree written by :func:`save_quantized` (host numpy leaves —
+    `jax.device_put` or a sharding placement happens at first use)."""
+    import numpy as np
+    out: Dict[str, Dict[str, object]] = {}
+    with np.load(path) as z:
+        for key in z.files:
+            layer, field = key.rsplit("/", 1)
+            out.setdefault(layer, {})[field] = z[key]
     return out
 
 

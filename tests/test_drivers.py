@@ -247,3 +247,34 @@ def test_sharded_eval_quantized(synth):
     for k in base:
         np.testing.assert_allclose(sharded[k], base[k], rtol=1e-4, atol=1e-5,
                                    err_msg=k)
+
+
+def test_quantize_cli_artifact_roundtrip(synth, tmp_path, capsys):
+    """ssp quantize writes an int8 .npz; ssp valid --quantize <npz> serves it
+    and matches first-batch-calibrated quantized eval."""
+    from singleshotpose_tpu.weights import save_weights
+
+    datacfg, cfgfile, _ = synth
+    spec = DarknetSpec(parse_cfg(cfgfile))
+    params, bstats = spec.init_params(jax.random.PRNGKey(9))
+    wfile = str(tmp_path / "m.weights")
+    save_weights(spec, params, bstats, wfile, seen=0)
+
+    qnpz = str(tmp_path / "q.npz")
+    assert cli_main(["quantize", "--datacfg", datacfg, "--modelcfg", cfgfile,
+                     "--weightfile", wfile, "--out", qnpz,
+                     "--calib_images", "6"]) == 0
+    out = capsys.readouterr().out
+    assert "quantized 1/2 conv layers" in out     # head conv skipped
+    assert os.path.exists(qnpz)
+
+    live = run_validation(datacfg, cfgfile, wfile, batch_size=6,
+                          num_workers=0, compute_dtype=None, verbose=False,
+                          quantize=True)
+    from_npz = run_validation(datacfg, cfgfile, wfile, batch_size=6,
+                              num_workers=0, compute_dtype=None,
+                              verbose=False, quantize=qnpz)
+    assert from_npz["n_samples"] == 6
+    for k in live:
+        np.testing.assert_allclose(from_npz[k], live[k], rtol=1e-4,
+                                   atol=1e-5, err_msg=k)
