@@ -262,6 +262,29 @@ class DarknetSpec:
             return jnp.maximum(x, 0)
         return x
 
+    def _walk_other(self, spec: "LayerSpec", i: int, x, cache, params):
+        """One non-conv, non-maxpool layer (shared by :meth:`_walk` and the
+        quantized interpreter in ``models/quantize.py``)."""
+        if isinstance(spec, ReorgSpec):
+            return L.reorg(x, spec.stride)
+        if isinstance(spec, RouteSpec):
+            srcs = [cache[j] for j in spec.layers]
+            return srcs[0] if len(srcs) == 1 else jnp.concatenate(srcs, axis=-1)
+        if isinstance(spec, ShortcutSpec):
+            return self._activate(cache[spec.from_layer] + cache[i - 1],
+                                  spec.activation)
+        if isinstance(spec, AvgPoolSpec):
+            return L.global_avg_pool(x)
+        if isinstance(spec, SoftmaxSpec):
+            return jax.nn.softmax(x, axis=-1)
+        if isinstance(spec, ConnectedSpec):
+            p = params[spec.name]
+            return self._activate(x.reshape(x.shape[0], -1) @ p["w"] + p["b"],
+                                  spec.activation)
+        if isinstance(spec, RegionSpec):
+            return x  # loss-carrier block: no-op at forward
+        raise ValueError(f"unhandled layer spec {spec!r}")
+
     def _walk(self, x: jax.Array, conv_fn, params) -> jax.Array:
         """Shared block interpreter: ``conv_fn(spec, x)`` supplies the
         conv+norm+bias body; every other layer type has one implementation
@@ -273,24 +296,8 @@ class DarknetSpec:
             elif isinstance(spec, MaxPoolSpec):
                 x = L.max_pool(x, spec.size, spec.stride) if spec.stride > 1 \
                     else L.max_pool_stride1(x)
-            elif isinstance(spec, ReorgSpec):
-                x = L.reorg(x, spec.stride)
-            elif isinstance(spec, RouteSpec):
-                srcs = [cache[j] for j in spec.layers]
-                x = srcs[0] if len(srcs) == 1 else jnp.concatenate(srcs, axis=-1)
-            elif isinstance(spec, ShortcutSpec):
-                x = self._activate(cache[spec.from_layer] + cache[i - 1],
-                                   spec.activation)
-            elif isinstance(spec, AvgPoolSpec):
-                x = L.global_avg_pool(x)
-            elif isinstance(spec, SoftmaxSpec):
-                x = jax.nn.softmax(x, axis=-1)
-            elif isinstance(spec, ConnectedSpec):
-                p = params[spec.name]
-                x = self._activate(x.reshape(x.shape[0], -1) @ p["w"] + p["b"],
-                                   spec.activation)
-            elif isinstance(spec, RegionSpec):
-                continue  # loss-carrier block: no-op at forward
+            else:
+                x = self._walk_other(spec, i, x, cache, params)
             if i in self._live:
                 cache[i] = x
         return x

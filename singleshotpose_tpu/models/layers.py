@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 __all__ = [
@@ -78,8 +79,14 @@ def leaky_relu(x: jax.Array, negative_slope: float = 0.1) -> jax.Array:
 
 def max_pool(x: jax.Array, size: int, stride: int) -> jax.Array:
     """Max pool, VALID padding (torch ``nn.MaxPool2d(size, stride)`` default)."""
+    init = -np.inf if jnp.issubdtype(x.dtype, jnp.floating) \
+        else jnp.iinfo(x.dtype).min
     return lax.reduce_window(
-        x, -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        # init_value must be a CONCRETE scalar carrying the operand dtype
+        # exactly: a bare Python int defaults to int32 (rejecting the
+        # quantized path's int8 pooling) and a traced jnp scalar breaks
+        # reduce_window's reverse-mode rule
+        x, np.asarray(init, jax.dtypes.canonicalize_dtype(x.dtype)),
         lax.max,
         window_dimensions=(1, size, size, 1),
         window_strides=(1, stride, stride, 1),

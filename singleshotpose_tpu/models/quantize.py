@@ -139,6 +139,11 @@ def load_quantized(path: str):
     return out
 
 
+def _quant_act(x: jax.Array, sa) -> jax.Array:
+    return jnp.clip(jnp.round(x.astype(jnp.float32) / sa),
+                    -_INT8_MAX, _INT8_MAX).astype(jnp.int8)
+
+
 def apply_quantized(spec: DarknetSpec, qparams, x: jax.Array,
                     *, compute_dtype=jnp.bfloat16) -> jax.Array:
     """Serving forward with int8 convs (int32 MXU accumulation).
@@ -146,19 +151,76 @@ def apply_quantized(spec: DarknetSpec, qparams, x: jax.Array,
     Same contract as :meth:`DarknetSpec.apply_folded`: NHWC float 0..1 in,
     raw head tensor out. Layers without a ``wq`` entry run in
     ``compute_dtype`` exactly like the folded path.
+
+    Uses its own interpreter instead of :meth:`DarknetSpec._walk` for one
+    HBM optimization: **max-pool commutes with the monotone int8 quantizer**
+    (``max(clip(round(v/sa))) == clip(round(max(v)/sa))`` — round/clip are
+    non-decreasing), so when a pool chain feeds a quantized conv the input is
+    quantized *before* the pools. The pools then run on int8 (half bf16's
+    HBM traffic on the largest activations in the net) and the requant fuses
+    into the producer conv's epilogue, so the intermediate materializes as
+    int8. Bit-exact vs quantizing at the conv input (pinned by
+    ``tests/test_quantize.py``).
     """
     from . import layers as L
+    from .darknet import MaxPoolSpec
 
-    def conv_fn(cspec: ConvSpec, x):
+    layers = spec.layers
+
+    def pool_consumer_scale(i: int):
+        """If layers[i:] is a run of non-live maxpools ending at a quantized
+        conv, return (conv_name, sa); else None. Liveness bail: a pooled
+        int8 tensor must not be what a later route/shortcut re-reads."""
+        j = i
+        while j < len(layers) and isinstance(layers[j], MaxPoolSpec):
+            if j in spec._live:
+                return None
+            j += 1
+        if j < len(layers) and isinstance(layers[j], ConvSpec):
+            p = qparams[layers[j].name]
+            if "wq" in p:
+                return layers[j].name, p["sa"]
+        return None
+
+    def quant_conv(cspec: ConvSpec, xq, sa):
         p = qparams[cspec.name]
-        if "wq" not in p:
-            return DarknetSpec._conv(cspec, x, p["w"], compute_dtype) + p["b"]
-        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / p["sa"]),
-                      -_INT8_MAX, _INT8_MAX).astype(jnp.int8)
         y = L.conv2d(xq, p["wq"], cspec.stride, cspec.pad,
                      preferred_dtype=jnp.int32)
-        scale = (p["sa"] * p["sw"]).astype(jnp.float32)
-        y = y.astype(jnp.float32) * scale + p["b"]
+        y = y.astype(jnp.float32) * (sa * p["sw"]).astype(jnp.float32) + p["b"]
         return y.astype(compute_dtype) if compute_dtype is not None else y
 
-    return spec._walk(x, conv_fn, qparams)
+    cache = {}
+    xq = None           # int8 rep of x, quantized with `xq_for`'s input scale
+    xq_for = None
+    for i, lspec in enumerate(layers):
+        if isinstance(lspec, ConvSpec):
+            p = qparams[lspec.name]
+            if "wq" in p:
+                if xq is not None and xq_for == lspec.name:
+                    x = quant_conv(lspec, xq, p["sa"])
+                else:
+                    x = quant_conv(lspec, _quant_act(x, p["sa"]), p["sa"])
+            else:
+                x = DarknetSpec._conv(lspec, x, p["w"], compute_dtype) + p["b"]
+            x = spec._activate(x, lspec.activation)
+            xq = None
+        elif isinstance(lspec, MaxPoolSpec):
+            if xq is None:
+                hit = pool_consumer_scale(i)
+                if hit is not None:
+                    xq_for, sa = hit
+                    xq = _quant_act(x, sa)
+            pool = (lambda a: L.max_pool(a, lspec.size, lspec.stride)) \
+                if lspec.stride > 1 else L.max_pool_stride1
+            if xq is not None:
+                xq = pool(xq)
+                x = None    # consumed by the next (quantized) conv as xq
+            else:
+                x = pool(x)
+        else:
+            # every non-conv/pool layer runs exactly like DarknetSpec._walk
+            x = spec._walk_other(lspec, i, x, cache, qparams)
+            xq = None
+        if i in spec._live:
+            cache[i] = x
+    return x

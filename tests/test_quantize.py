@@ -129,3 +129,40 @@ def test_full_zoo_net_quantizes(tiny):
     assert out.shape == ref.shape == (1, 2, 2, 20)
     rel = np.abs(out - ref).mean() / np.abs(ref).mean()
     assert rel < 0.06, f"relative head error {rel:.4f} on 23-conv net"
+
+
+def test_pool_commutation_bit_exact(tiny):
+    """apply_quantized pre-quantizes before maxpools (int8 pooling); results
+    must be BIT-EXACT vs the naive quantize-at-conv-input interpreter since
+    max commutes with the monotone quantizer."""
+    from singleshotpose_tpu.models import layers as L
+    from singleshotpose_tpu.models.darknet import DarknetSpec
+
+    spec, _, qp, _, x = tiny
+
+    def naive_conv_fn(cspec, xin):
+        p = qp[cspec.name]
+        if "wq" not in p:
+            return DarknetSpec._conv(cspec, xin, p["w"], None) + p["b"]
+        xq = Q._quant_act(xin, p["sa"])
+        y = L.conv2d(xq, p["wq"], cspec.stride, cspec.pad,
+                     preferred_dtype=jnp.int32)
+        return y.astype(jnp.float32) * (p["sa"] * p["sw"]) + p["b"]
+
+    naive = np.asarray(jax.jit(
+        lambda p, v: spec._walk(v, naive_conv_fn, p))(qp, x))
+    fused = np.asarray(jax.jit(
+        lambda p, v: Q.apply_quantized(spec, p, v, compute_dtype=None))(qp, x))
+    np.testing.assert_array_equal(fused, naive)
+
+
+def test_quantized_int8_pooling_in_graph(tiny):
+    """The graph actually pools in int8: the lowered stablehlo reduce_window
+    runs on i8 tensors (the pool-commutation optimization is in effect)."""
+    spec, _, qp, _, x = tiny
+    txt = jax.jit(
+        lambda p, v: Q.apply_quantized(spec, p, v, compute_dtype=None)
+    ).lower(qp, x).as_text()
+    assert "reduce_window" in txt, "no reduce_window in lowered graph"
+    # the i8 init scalar exists only when the pool itself runs on int8
+    assert "tensor<i8>" in txt
