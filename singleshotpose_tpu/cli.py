@@ -155,10 +155,16 @@ def cmd_valid(argv: Sequence[str]) -> int:
                    help="shard eval batches over N devices (0 = single)")
     args = p.parse_args(argv)
     _require_file(args.datacfg, "data config")
+    if isinstance(args.quantize, str):
+        _require_file(args.quantize, "quantized artifact")
 
     from .drivers import run_validation
     spec = _resolve_model(args.modelcfg)
-    if args.orbax_dir:
+    if isinstance(args.quantize, str):
+        # pre-quantized .npz IS the serving artifact: no f32 weights needed
+        run_validation(args.datacfg, spec, None, save=args.save,
+                       quantize=args.quantize, mesh=_mesh_from_dp(args.dp))
+    elif args.orbax_dir:
         from .checkpoint import OrbaxCheckpointer
         ckpt = OrbaxCheckpointer(args.orbax_dir)
         state, step = ckpt.restore(args.step)

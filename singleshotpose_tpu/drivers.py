@@ -183,28 +183,41 @@ def _eval_pass(spec: DarknetSpec, params, batch_stats, loader: Loader,
     batches are zero-padded up to a multiple of the data-axis size; padded
     rows have no labels so they never reach the metrics.
     """
-    folded = fold_batchnorm(spec, params, batch_stats)
-    if quantize:
-        # int8 serving path (models/quantize.py): the whole eval runs the
-        # MXU's 2x int8 peak.  quantize=True calibrates activation scales on
-        # the first batch; quantize="<path>.npz" loads a pre-quantized
-        # artifact written by `ssp quantize` / save_quantized.
-        if transfer != "rgb":
-            raise ValueError("quantize requires transfer='rgb' "
-                             "(calibration runs on eval-size RGB batches)")
-        if isinstance(quantize, str):
-            from .models.quantize import load_quantized
-            folded = load_quantized(quantize)
-        else:
+    # int8 serving path (models/quantize.py): the whole eval runs the MXU's
+    # 2x int8 peak.  quantize="<path>.npz" loads a pre-quantized artifact
+    # written by `ssp quantize` / save_quantized (no f32 weights needed);
+    # quantize=True calibrates activation scales on the first batch.
+    stream = loader
+    if isinstance(quantize, str):
+        from .models.quantize import load_quantized
+        # npz leaves are host numpy: place on device ONCE, or every forward
+        # re-uploads the whole weight pytree per batch
+        folded = jax.device_put(load_quantized(quantize))
+    else:
+        folded = fold_batchnorm(spec, params, batch_stats)
+        if quantize:
+            if transfer != "rgb":
+                raise ValueError(
+                    "quantize=True requires transfer='rgb' (calibration "
+                    "runs on eval-size RGB batches); pre-quantized "
+                    "quantize='<path>.npz' composes with any transfer")
             from .models.quantize import (calibrate_activations,
                                           quantize_folded)
-            images, _ = next(iter(loader))
-            calib = jnp.asarray(images)
+            # single iterator: the calibration batch is chained back in
+            # front so batch 0 is decoded once, not twice
+            import itertools
+            it = iter(loader)
+            first = next(it, None)
+            if first is None:
+                raise ValueError("quantize=True needs a non-empty loader "
+                                 "for calibration")
+            calib = jnp.asarray(first[0])
             if jnp.issubdtype(calib.dtype, jnp.integer):
                 calib = calib.astype(jnp.float32) / 255.0
             amax = calibrate_activations(spec, folded, calib,
                                          compute_dtype=compute_dtype)
             folded = quantize_folded(spec, folded, amax)
+            stream = itertools.chain([first], it)
     K = num_keypoints
     forward = _eval_forward(spec, compute_dtype, transfer, out_shape, pick)
 
@@ -238,7 +251,7 @@ def _eval_pass(spec: DarknetSpec, params, batch_stats, loader: Loader,
     # Through a high-latency host↔device link (the dev-env tunnel round-trip
     # is ~25 ms) per-batch syncs alone would cap eval below 50 fps.
     pending: List[Tuple[jax.Array, np.ndarray]] = []
-    for images, labels in prefetch(loader):
+    for images, labels in prefetch(stream):
         if isinstance(images, tuple):       # yuv420: (y, cbcr) planes
             boxes = forward(folded, _shard(images[0]), _shard(images[1]))
         else:
@@ -305,7 +318,10 @@ def run_validation(datacfg: str, modelcfg: Union[str, DarknetSpec],
     spec = load_spec(modelcfg)
     if weightfile is not None:
         _, params, batch_stats = W.load_weights(spec, weightfile)
-    assert params is not None and batch_stats is not None
+    assert isinstance(quantize, str) or (
+        params is not None and batch_stats is not None), \
+        "need weightfile or (params, batch_stats) — or a "\
+        "pre-quantized .npz via quantize="
 
     ctx = EvalContext.from_data_config(dcfg)
     ds = PoseDataset(dcfg.valid, train=False,
@@ -411,7 +427,10 @@ def run_validation_multi(datacfg: Union[str, DataConfig],
     spec = load_spec(modelcfg)
     if weightfile is not None:
         _, params, batch_stats = W.load_weights(spec, weightfile)
-    assert params is not None and batch_stats is not None
+    assert isinstance(quantize, str) or (
+        params is not None and batch_stats is not None), \
+        "need weightfile or (params, batch_stats) — or a "\
+        "pre-quantized .npz via quantize="
     if conf_thresh is None:
         conf_thresh = spec.net.conf_thresh
     name = objclass or dcfg.name

@@ -271,7 +271,8 @@ def test_quantize_cli_artifact_roundtrip(synth, tmp_path, capsys):
     live = run_validation(datacfg, cfgfile, wfile, batch_size=6,
                           num_workers=0, compute_dtype=None, verbose=False,
                           quantize=True)
-    from_npz = run_validation(datacfg, cfgfile, wfile, batch_size=6,
+    # the npz IS the serving artifact: no weightfile passed at all
+    from_npz = run_validation(datacfg, cfgfile, None, batch_size=6,
                               num_workers=0, compute_dtype=None,
                               verbose=False, quantize=qnpz)
     assert from_npz["n_samples"] == 6
