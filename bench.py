@@ -101,6 +101,84 @@ def bench_infer(quantize: bool = False):
     return BATCH * CHAIN / dt
 
 
+def bench_infer_multi():
+    """Multi-object (OCCLUSION) inference fps: 160-ch head, 5 anchors, fused
+    per-class box pick (the reference hot path ``valid_multi.py:89-123``)."""
+    from singleshotpose_tpu.models.darknet import fold_batchnorm
+    from singleshotpose_tpu.ops.decode import best_boxes_per_class, decode_grid
+    from singleshotpose_tpu.zoo import yolo_pose_multi
+
+    net = yolo_pose_multi()
+    params, bstats = net.init_params(jax.random.PRNGKey(0))
+    folded = jax.device_put(fold_batchnorm(net, params, bstats))
+    K, C, nA = net.num_keypoints, net.num_classes, net.num_anchors
+
+    @partial(jax.jit, static_argnames=("iters",))
+    def chained(p, x, iters):
+        def body(i, carry):
+            x, acc = carry
+            head = net.apply_folded(p, x, compute_dtype=jnp.bfloat16)
+            boxes = best_boxes_per_class(
+                decode_grid(head.astype(jnp.float32), K, C, nA), 0.05)
+            s = jnp.mean(boxes)
+            return (x * 0.999 + s * 1e-6, acc + s)
+        return jax.lax.fori_loop(0, iters, body, (x, jnp.float32(0)))[1]
+
+    x = jax.device_put(jnp.asarray(
+        np.random.RandomState(0).rand(BATCH, SIZE, SIZE, 3), jnp.float32))
+    r = chained(folded, x, CHAIN)
+    float(r)
+    t0 = time.perf_counter()
+    r = chained(folded, x, CHAIN)
+    float(r)
+    return BATCH * CHAIN / (time.perf_counter() - t0)
+
+
+def bench_pnp():
+    """Batched PnP throughput (poses/s): DLT + LM on 9 correspondences —
+    the on-device replacement for the reference's per-frame cv2.solvePnP
+    (``utils.py:86-100``)."""
+    from singleshotpose_tpu.ops.pnp import pnp_batched
+
+    rng = np.random.RandomState(0)
+    N, CH = 1024, 10
+    K = np.array([[572.4114, 0, 325.2611], [0, 573.5704, 242.0489],
+                  [0, 0, 1]], np.float32)
+    pts3 = np.concatenate([np.zeros((1, 3)), rng.uniform(-.05, .05, (8, 3))]
+                          ).astype(np.float32)
+    Rts = []
+    p2 = np.zeros((N, 9, 2), np.float32)
+    for i in range(N):
+        w = rng.randn(3) * .4
+        th = np.linalg.norm(w)
+        Kx = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]])
+        R = np.eye(3) + np.sin(th) / th * Kx + (1 - np.cos(th)) / th**2 * Kx @ Kx
+        t = np.array([rng.uniform(-.05, .05), rng.uniform(-.05, .05),
+                      rng.uniform(.6, .9)])
+        cam = pts3 @ R.T + t
+        pix = cam @ K.T
+        p2[i] = pix[:, :2] / pix[:, 2:3]
+    p3 = jnp.asarray(pts3)          # (9,3) shared across the batch
+    p2 = jnp.asarray(p2)
+    Kj = jnp.asarray(K)
+
+    @partial(jax.jit, static_argnames=("iters",))
+    def chained(p2, iters):
+        def body(i, carry):
+            p2, acc = carry
+            R, t = pnp_batched(p3, p2, Kj)
+            s = jnp.mean(t)
+            return (p2 + s * 1e-9, acc + s)
+        return jax.lax.fori_loop(0, iters, body, (p2, jnp.float32(0)))[1]
+
+    r = chained(p2, CH)
+    float(r)
+    t0 = time.perf_counter()
+    r = chained(p2, CH)
+    float(r)
+    return N * CH / (time.perf_counter() - t0)
+
+
 def bench_train_step():
     """Fused train-step time (fwd+loss+bwd+SGD, reference batch 8 at 416²).
 
@@ -297,6 +375,8 @@ def main():
     if args.only in (None, "infer"):
         fps = bench_infer()
         extra["infer_fps_int8"] = round(bench_infer(quantize=True), 1)
+        extra["infer_fps_multi"] = round(bench_infer_multi(), 1)
+        extra["pnp_poses_per_sec"] = round(bench_pnp(), 1)
     if args.only in (None, "train"):
         step_ms, tps = bench_train_step()
         extra["train_step_ms_b8"] = round(step_ms, 2)
