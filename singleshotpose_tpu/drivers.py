@@ -775,7 +775,8 @@ def _train_epochs(spec, state_box, loader, step, net, steps, scales,
                 datacfg, spec, params=state.params,
                 batch_stats=state.batch_stats,
                 batch_size=rc.eval_batch_size, num_workers=rc.num_workers,
-                compute_dtype=rc.compute_dtype)
+                compute_dtype=rc.compute_dtype,
+                mesh=rc.mesh)   # sharded training → eval batches shard too
             acc = summary[rc.save_best_metric]
             history["testing_iters"].append(processed_batches)
             history["testing_accuracies"].append(acc)
@@ -963,7 +964,8 @@ def _multi_epoch_body(epoch, spec, state_box, loader, step, net, steps,
                 batch_stats=state.batch_stats,
                 batch_size=rc.eval_batch_size,
                 num_workers=rc.num_workers,
-                compute_dtype=rc.compute_dtype)
+                compute_dtype=rc.compute_dtype,
+                mesh=rc.mesh)   # sharded training → eval batches shard too
             accs.append(res["acc_table"][50])   # reference records acc@50
         mean_acc = float(np.mean(accs)) if accs else float("nan")
         history["testing_iters"].append(processed_batches)
