@@ -191,6 +191,9 @@ def cmd_valid_multi(argv: Sequence[str]) -> int:
     p.add_argument("--datacfg", type=str, default=None,
                    help="a multi .data with valid<i>/mesh<i>/diam<i> keys "
                         "(e.g. occlusion.data): evals every listed object")
+    p.add_argument("--quantize", action="store_true",
+                   help="serve backbone convs in int8 (first-batch "
+                        "calibration per object)")
     args = p.parse_args(argv)
     _require_file(args.weightfile, "weight file")
 
@@ -199,13 +202,15 @@ def cmd_valid_multi(argv: Sequence[str]) -> int:
     spec = _resolve_model(args.modelcfg)
     if args.datacfg:
         _require_file(args.datacfg, "data config")
-        run_validation_multi_sweep(args.datacfg, spec, args.weightfile)
+        run_validation_multi_sweep(args.datacfg, spec, args.weightfile,
+                                   quantize=args.quantize)
         return 0
     datacfgs = args.datacfgs or [
         f"cfg/{obj}_occlusion.data" for obj in OCCLUSION_EVAL_OBJECTS]
     for dc in datacfgs:
         _require_file(dc, "data config")
-        run_validation_multi(dc, spec, args.weightfile, class_id=None)
+        run_validation_multi(dc, spec, args.weightfile, class_id=None,
+                             quantize=args.quantize)
     return 0
 
 
