@@ -179,12 +179,15 @@ def bench_pnp():
     return N * CH / (time.perf_counter() - t0)
 
 
-def bench_train_step():
-    """Fused train-step time (fwd+loss+bwd+SGD, reference batch 8 at 416²).
+def bench_train_step(batch: int = TRAIN_BATCH, chain: int = TRAIN_CHAIN):
+    """Fused train-step time (fwd+loss+bwd+SGD at 416²).
 
     Chained on-device: iteration i+1 consumes iteration i's updated state,
-    so one sync times TRAIN_CHAIN real sequential steps (reference hot loop
-    ``train.py:76-129``).  Returns (step_ms, samples_per_sec).
+    so one sync times ``chain`` real sequential steps (reference hot loop
+    ``train.py:76-129``).  Default is the reference config (batch 8);
+    main() also reports the throughput-optimal batch-128 step, where the
+    early layers' small-channel layout overheads amortize (~2.2x the
+    samples/s of batch 8).  Returns (step_ms, samples_per_sec).
     """
     from singleshotpose_tpu.ops.losses import RegionLossConfig
     from singleshotpose_tpu.training import init_train_state, make_train_step
@@ -194,15 +197,15 @@ def bench_train_step():
     params, bstats = net.init_params(jax.random.PRNGKey(0))
     state = init_train_state(params, bstats)
     raw_step = make_train_step(net, RegionLossConfig.single(),
-                               weight_decay=0.0005 * TRAIN_BATCH,
+                               weight_decay=0.0005 * batch,
                                momentum=0.9, compute_dtype=jnp.bfloat16,
                                donate=False, jit_compile=False)
 
     rng = np.random.RandomState(0)
-    images = jnp.asarray(rng.rand(TRAIN_BATCH, SIZE, SIZE, 3), jnp.float32)
-    target = np.zeros((TRAIN_BATCH, 50 * 21), np.float32)
-    tt = target.reshape(TRAIN_BATCH, 50, 21)
-    tt[:, 0, 1:19] = rng.uniform(0.2, 0.8, (TRAIN_BATCH, 18))
+    images = jnp.asarray(rng.rand(batch, SIZE, SIZE, 3), jnp.float32)
+    target = np.zeros((batch, 50 * 21), np.float32)
+    tt = target.reshape(batch, 50, 21)
+    tt[:, 0, 1:19] = rng.uniform(0.2, 0.8, (batch, 18))
     tt[:, 0, 19:21] = [0.3, 0.4]
     target = jnp.asarray(target)
 
@@ -210,18 +213,18 @@ def bench_train_step():
     def chained_train(state, images, target, iters):
         def body(i, st):
             st, _stats = raw_step(st, images, target,
-                                  jnp.float32(0.001 / TRAIN_BATCH), 100)
+                                  jnp.float32(0.001 / batch), 100)
             return st
         return jax.lax.fori_loop(0, iters, body, state)
 
-    state = chained_train(state, images, target, TRAIN_CHAIN)  # compile+warm
+    state = chained_train(state, images, target, chain)  # compile+warm
     int(jax.device_get(state.seen))                            # sync
     t0 = time.perf_counter()
-    state = chained_train(state, images, target, TRAIN_CHAIN)
+    state = chained_train(state, images, target, chain)
     int(jax.device_get(state.seen))
     dt = time.perf_counter() - t0
-    step_ms = dt / TRAIN_CHAIN * 1e3
-    return step_ms, TRAIN_BATCH * TRAIN_CHAIN / dt
+    step_ms = dt / chain * 1e3
+    return step_ms, batch * chain / dt
 
 
 def bench_train_e2e():
@@ -381,6 +384,8 @@ def main():
         step_ms, tps = bench_train_step()
         extra["train_step_ms_b8"] = round(step_ms, 2)
         extra["train_samples_per_sec"] = round(tps, 1)
+        _, tps128 = bench_train_step(batch=128, chain=8)
+        extra["train_sps_b128"] = round(tps128, 1)
         try:
             extra["train_e2e_sps"] = round(bench_train_e2e(), 1)
         except (RuntimeError, OSError):
