@@ -199,7 +199,8 @@ def bench_train_step(batch: int = TRAIN_BATCH, chain: int = TRAIN_CHAIN):
     raw_step = make_train_step(net, RegionLossConfig.single(),
                                weight_decay=0.0005 * batch,
                                momentum=0.9, compute_dtype=jnp.bfloat16,
-                               donate=False, jit_compile=False)
+                               donate=False, jit_compile=False,
+                               fused_stem=jax.default_backend() == "tpu")
 
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.rand(batch, SIZE, SIZE, 3), jnp.float32)
@@ -246,7 +247,8 @@ def bench_train_e2e():
     state = init_train_state(*net.init_params(jax.random.PRNGKey(0)))
     step = make_train_step(net, RegionLossConfig.single(),
                            weight_decay=0.0005 * TRAIN_BATCH, momentum=0.9,
-                           compute_dtype=jnp.bfloat16)
+                           compute_dtype=jnp.bfloat16,
+                           fused_stem=jax.default_backend() == "tpu")
     ds = PoseDataset(f"{base}/test.txt", train=True,
                      bg_file_names=[f"{base}/bg.jpg"], cache_decoded=True)
 

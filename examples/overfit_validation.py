@@ -22,7 +22,8 @@ from singleshotpose_tpu.drivers import run_validation
 net = yolo_pose_single(test_size=416)
 state = init_train_state(*net.init_params(jax.random.PRNGKey(0)))
 cfg = RegionLossConfig.single(pretrain_num_epochs=15)  # conf gated until "epoch" 15
-step = make_train_step(net, cfg, weight_decay=0.0, momentum=0.9)
+step = make_train_step(net, cfg, weight_decay=0.0, momentum=0.9,
+                       fused_stem=jax.default_backend() == "tpu")
 
 ds = PoseDataset("/tmp/ssp_learn/train.txt", train=False)
 ld = Loader(ds, batch_size=16, fixed_shape=(416,416), shuffle=False, num_workers=2, drop_last=False)

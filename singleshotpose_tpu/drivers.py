@@ -524,6 +524,20 @@ class TrainRunConfig:
     cache_decoded: bool = False        # RAM-cache decoded images across epochs
     loader_backend: str = "auto"       # auto | python | native | device
     precompile_buckets: bool = False   # pre-pay multi-scale XLA compiles
+    # None → auto: fused Pallas stem (ops/stem.py) on an unsharded TPU
+    # backend with bf16 compute (batch-8 train step 14.9 → 10.9 ms on v5e).
+    # Under a mesh the Mosaic custom calls have no GSPMD rule, so auto
+    # disables it (same gating story as use_pallas for the loss kernel).
+    fused_stem: Optional[bool] = None
+
+
+
+def _resolve_fused_stem(rc: "TrainRunConfig") -> bool:
+    """Auto policy for the fused Pallas stem (see TrainRunConfig.fused_stem)."""
+    if rc.fused_stem is not None:
+        return rc.fused_stem
+    return (rc.mesh is None and rc.compute_dtype == jnp.bfloat16
+            and jax.default_backend() == "tpu")
 
 
 def run_training(datacfg: str, modelcfg: Union[str, DarknetSpec],
@@ -597,7 +611,8 @@ def run_training(datacfg: str, modelcfg: Union[str, DarknetSpec],
     step = make_train_step(spec, loss_cfg,
                            weight_decay=net.decay * batch_size,
                            momentum=net.momentum,
-                           compute_dtype=rc.compute_dtype)
+                           compute_dtype=rc.compute_dtype,
+                           fused_stem=_resolve_fused_stem(rc))
 
     bg_files = get_all_files(rc.bg_dir) if os.path.isdir(rc.bg_dir) else []
     ds = PoseDataset(dcfg.train, train=True, bg_file_names=bg_files,
@@ -876,7 +891,8 @@ def run_training_multi(datacfg: str, modelcfg: Union[str, DarknetSpec],
     step = make_train_step(spec, loss_cfg,
                            weight_decay=net.decay * batch_size,
                            momentum=net.momentum,
-                           compute_dtype=rc.compute_dtype)
+                           compute_dtype=rc.compute_dtype,
+                           fused_stem=_resolve_fused_stem(rc))
 
     if linemod_root is None:
         # reference hard-codes '../LINEMOD/<obj>/train.txt' relative to the

@@ -285,12 +285,16 @@ class DarknetSpec:
             return x  # loss-carrier block: no-op at forward
         raise ValueError(f"unhandled layer spec {spec!r}")
 
-    def _walk(self, x: jax.Array, conv_fn, params) -> jax.Array:
+    def _walk(self, x: jax.Array, conv_fn, params, start: int = 0) -> jax.Array:
         """Shared block interpreter: ``conv_fn(spec, x)`` supplies the
         conv+norm+bias body; every other layer type has one implementation
-        here (route liveness keeps only outputs a later layer re-reads)."""
+        here (route liveness keeps only outputs a later layer re-reads).
+        ``start`` skips already-computed leading layers (fused stem path —
+        only legal when no skipped layer output is re-read later)."""
         cache: Dict[int, jax.Array] = {}
         for i, spec in enumerate(self.layers):
+            if i < start:
+                continue
             if isinstance(spec, ConvSpec):
                 x = self._activate(conv_fn(spec, x), spec.activation)
             elif isinstance(spec, MaxPoolSpec):
@@ -313,7 +317,7 @@ class DarknetSpec:
                         preferred_dtype=None if cd is not None else jnp.float32)
 
     def apply(self, params, x: jax.Array, *, batch_stats=None, train: bool = False,
-              compute_dtype=None):
+              compute_dtype=None, fused_stem: bool = False):
         """Run the network. ``x`` is NHWC float (0..1 RGB).
 
         Inference (``train=False``): uses running BN stats; returns the raw
@@ -324,10 +328,30 @@ class DarknetSpec:
 
         ``compute_dtype=jnp.bfloat16`` casts conv inputs/weights to bf16 with
         f32 accumulation — the TPU fast path.
+
+        ``fused_stem=True`` (train only) runs the leading conv+BN+leaky+pool
+        block as the Pallas phase-split stem (``ops/stem.py``) when the spec
+        matches — silently falls back otherwise.
         """
         if train and batch_stats is None:
             raise ValueError("train=True requires batch_stats")
         new_stats: Dict[str, Dict[str, jax.Array]] = {}
+        start = 0
+        if fused_stem and train:
+            from ..ops.stem import stem_supported, stem_conv_bn_pool_train
+            if stem_supported(self, compute_dtype):
+                spec0 = self.layers[0]
+                p0 = params[spec0.name]
+                st0 = batch_stats[spec0.name]
+                n = x.shape[0] * x.shape[1] * x.shape[2]
+                x, bm, bv = stem_conv_bn_pool_train(
+                    x, p0["w"], p0["scale"], p0["bias"])
+                unbiased = bv * (n / max(n - 1, 1))
+                new_stats[spec0.name] = {          # torch momentum-0.1 update
+                    "mean": 0.9 * st0["mean"] + 0.1 * bm,
+                    "var": 0.9 * st0["var"] + 0.1 * unbiased,
+                }
+                start = 2
 
         def conv_fn(spec: ConvSpec, x):
             p = params[spec.name]
@@ -349,7 +373,7 @@ class DarknetSpec:
                 x = x + p["b"]
             return x
 
-        out = self._walk(x, conv_fn, params)
+        out = self._walk(x, conv_fn, params, start=start)
         if train:
             # carry forward unchanged stats for completeness
             for k, v in batch_stats.items():

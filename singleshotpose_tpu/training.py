@@ -109,7 +109,8 @@ def make_train_step(net: DarknetSpec, loss_cfg: RegionLossConfig, *,
                     compute_dtype=jnp.bfloat16,
                     decay_bn_bias: bool = True,
                     donate: bool = True,
-                    jit_compile: bool = True):
+                    jit_compile: bool = True,
+                    fused_stem: bool = False):
     """Build the fused jitted train step.
 
     Returns ``step(state, images, target, lr, epoch) -> (state, stats)``.
@@ -128,7 +129,8 @@ def make_train_step(net: DarknetSpec, loss_cfg: RegionLossConfig, *,
         def loss_fn(params):
             out, new_stats = net.apply(params, images,
                                        batch_stats=state.batch_stats,
-                                       train=True, compute_dtype=compute_dtype)
+                                       train=True, compute_dtype=compute_dtype,
+                                       fused_stem=fused_stem)
             loss, stats = region_loss(out, target, epoch, loss_cfg)
             return loss, (new_stats, stats)
 
