@@ -337,7 +337,12 @@ class DarknetSpec:
             raise ValueError("train=True requires batch_stats")
         new_stats: Dict[str, Dict[str, jax.Array]] = {}
         start = 0
-        if fused_stem and train:
+        if fused_stem and train and x.shape[0] < 64:
+            # batch gate: the stem's layout win exists because at small batch
+            # XLA pads C=32 onto the 128-lane axis (4x bytes).  At batch 128
+            # the batch dim fills the lanes exactly (no padding tax) and the
+            # kernel's extra y_phases traffic loses: measured 1133 sps
+            # unfused vs 1058 fused at B=128; 14.9 -> 10.9 ms at B=8.
             from ..ops.stem import stem_supported, stem_conv_bn_pool_train
             if stem_supported(self, compute_dtype):
                 spec0 = self.layers[0]
@@ -384,10 +389,17 @@ class DarknetSpec:
     def apply_folded(self, folded_params, x: jax.Array, *, compute_dtype=None):
         """Inference with BN pre-folded into conv weight/bias (see
         :func:`fold_batchnorm`) — the fastest serving path: one conv + bias +
-        leaky per block, fully fusible by XLA."""
+        leaky per block, fully fusible by XLA.
+
+        The f32 bias is added in f32 but the result is stored back in the
+        compute dtype: without the cast the promotion made every post-conv
+        serving tensor f32, doubling HBM traffic on the pool/route path (the
+        next conv re-rounded to bf16 anyway — same reasoning as
+        ``layers.batch_norm``'s dtype rule)."""
         def conv_fn(spec: ConvSpec, x):
             p = folded_params[spec.name]
-            return self._conv(spec, x, p["w"], compute_dtype) + p["b"]
+            y = self._conv(spec, x, p["w"], compute_dtype) + p["b"]
+            return y.astype(compute_dtype) if compute_dtype is not None else y
 
         return self._walk(x, conv_fn, folded_params)
 
