@@ -386,7 +386,8 @@ class DarknetSpec:
             return out, new_stats
         return out
 
-    def apply_folded(self, folded_params, x: jax.Array, *, compute_dtype=None):
+    def apply_folded(self, folded_params, x: jax.Array, *, compute_dtype=None,
+                     fused_stem: bool = False):
         """Inference with BN pre-folded into conv weight/bias (see
         :func:`fold_batchnorm`) — the fastest serving path: one conv + bias +
         leaky per block, fully fusible by XLA.
@@ -395,13 +396,29 @@ class DarknetSpec:
         compute dtype: without the cast the promotion made every post-conv
         serving tensor f32, doubling HBM traffic on the pool/route path (the
         next conv re-rounded to bf16 anyway — same reasoning as
-        ``layers.batch_norm``'s dtype rule)."""
+        ``layers.batch_norm``'s dtype rule).
+
+        ``fused_stem=True`` opts the first conv+leaky+pool block into the
+        single-kernel Pallas serving stem (``ops/stem.py:stem_conv_pool_infer``)
+        when the spec matches.  Off by default — measured honestly: serving is
+        forward-only, so the stem removes far fewer passes than in training
+        and its fixed per-kernel overheads dominate at small batch (batch-1
+        latency 1.19 → 2.39 ms, a 2x LOSS; batch-32 +2.7%, within noise).
+        The training stem's win does not transfer."""
+        start = 0
+        if fused_stem and x.shape[0] < 64:
+            from ..ops.stem import stem_conv_pool_infer, stem_supported
+            if stem_supported(self, compute_dtype):
+                p0 = folded_params[self.layers[0].name]
+                x = stem_conv_pool_infer(x, p0["w"], p0["b"])
+                start = 2
+
         def conv_fn(spec: ConvSpec, x):
             p = folded_params[spec.name]
             y = self._conv(spec, x, p["w"], compute_dtype) + p["b"]
             return y.astype(compute_dtype) if compute_dtype is not None else y
 
-        return self._walk(x, conv_fn, folded_params)
+        return self._walk(x, conv_fn, folded_params, start=start)
 
     def format_network(self) -> str:
         from ..config import format_cfg_table

@@ -465,3 +465,59 @@ def stem_conv_bn_pool_train(images, w, scale, bias, *, interpret=False):
                                       interpret or FORCE_INTERPRET)
     pooled = pooled_pl.reshape(B, _CO, hp, wl2)[:, :, :, :wp]
     return pooled.transpose(0, 2, 3, 1), mean, var
+
+
+# ---------------------------------------------------------------------------
+# inference stem (folded serving path): conv + bias + leaky + pool, one kernel
+# ---------------------------------------------------------------------------
+
+
+def _k_serve(planes_ref, w_ref, b_ref, out_ref, *, TP: int, wp: int,
+             wl2: int):
+    """Folded-serving stem: per-phase conv dots + bias + leaky + 4-phase max.
+
+    Matches ``apply_folded``'s unfused numerics: the conv output rounds to
+    bf16, the f32 bias adds in f32, the sum rounds to bf16, leaky runs on
+    that (all compares in f32 on bf16-rounded values — Mosaic bf16-compare
+    limitation, value-identical by rounding monotonicity)."""
+    j = pl.program_id(1)
+    i0 = j * TP
+    bias = b_ref[0][:, None]
+    best = None
+    for p, (py, px) in enumerate(_PHASES):
+        col = jnp.stack(_tap_rows(planes_ref, py, px, i0, TP, wl2), axis=0)
+        col = jnp.pad(col, ((0, 5), (0, 0)))
+        y = jax.lax.dot_general(w_ref[:], col, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        z = _rb(_rb(y) + bias)
+        a = jnp.where(z >= 0, z, _SLOPE * z)
+        best = a if best is None else jnp.maximum(best, a)
+    out_ref[0] = best.astype(jnp.bfloat16)
+
+
+def stem_conv_pool_infer(images, w, bias, *, interpret=False):
+    """Fused folded-serving stem forward.
+
+    Args:
+      images: (B, H, W, 3) float NHWC in [0, 1].
+      w: (3, 3, 3, 32) conv weights with BN folded in (``fold_batchnorm``).
+      bias: (32,) f32 folded bias.
+
+    Returns (B, H//2, W//2, 32) bf16 —
+    ``max_pool(leaky((conv2d(x, w).astype(bf16) + b).astype(bf16)), 2, 2)``.
+    """
+    B, H, W, _ = images.shape
+    hp, wp, wl2 = _dims(H, W)
+    planes = _prep_planes(images)
+    grid, planes_spec, _, pooled_spec, vec_spec = _grid_specs(B, hp, wl2, _TP)
+    pooled_pl = pl.pallas_call(
+        functools.partial(_k_serve, TP=_TP, wp=wp, wl2=wl2),
+        out_shape=jax.ShapeDtypeStruct((B, _CO, hp * wl2), jnp.bfloat16),
+        grid=grid,
+        in_specs=[planes_spec, pl.BlockSpec((_CO, _CO), lambda b, j: (0, 0)),
+                  vec_spec],
+        out_specs=pooled_spec,
+        interpret=interpret or FORCE_INTERPRET,
+    )(planes, _wmat(w), bias.reshape(1, _CO))
+    pooled = pooled_pl.reshape(B, _CO, hp, wl2)[:, :, :, :wp]
+    return pooled.transpose(0, 2, 3, 1)

@@ -130,3 +130,30 @@ def test_apply_falls_back_when_unsupported():
     b, _ = spec.apply(params, img, batch_stats=stats, train=True,
                       compute_dtype=None, fused_stem=False)
     assert jnp.array_equal(a, b)
+
+
+def test_serving_stem_matches_folded_path():
+    from singleshotpose_tpu.ops.stem import stem_conv_pool_infer
+    img, w, _, _ = _inputs(seed=5)
+    b = jnp.asarray(np.random.RandomState(6).randn(32) * 0.2, jnp.float32)
+    got = stem_conv_pool_infer(img, w, b)
+    y = (L.conv2d(img.astype(jnp.bfloat16), w.astype(jnp.bfloat16), 1, 1,
+                  preferred_dtype=None) + b).astype(jnp.bfloat16)
+    ref = L.max_pool(L.leaky_relu(y), 2, 2)
+    assert got.dtype == jnp.bfloat16 and got.shape == ref.shape
+    d = np.abs(np.asarray(got, np.float32) - np.asarray(ref, np.float32))
+    assert d.max() <= 1e-2 * np.abs(np.asarray(ref, np.float32)).max() + 1e-3
+
+
+def test_apply_folded_integration_serving_stem():
+    from singleshotpose_tpu.models.darknet import fold_batchnorm
+    spec = _tiny_spec()
+    params, stats = spec.init_params(jax.random.PRNGKey(1))
+    folded = fold_batchnorm(spec, params, stats)
+    img = jnp.asarray(np.random.RandomState(7).rand(2, 32, 32, 3), jnp.float32)
+    out_fused = spec.apply_folded(folded, img, compute_dtype=jnp.bfloat16,
+                                  fused_stem=True)
+    out_ref = spec.apply_folded(folded, img, compute_dtype=jnp.bfloat16)
+    d = np.abs(np.asarray(out_fused, np.float32) - np.asarray(out_ref, np.float32)).max()
+    s = np.abs(np.asarray(out_ref, np.float32)).max() + 1e-9
+    assert d <= 0.02 * s, (d, s)
