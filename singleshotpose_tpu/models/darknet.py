@@ -337,7 +337,8 @@ class DarknetSpec:
             raise ValueError("train=True requires batch_stats")
         new_stats: Dict[str, Dict[str, jax.Array]] = {}
         start = 0
-        if fused_stem and train and x.shape[0] < 64:
+        if (fused_stem and train and x.shape[0] < 64
+                and x.shape[1] % 32 == 0 and x.shape[2] % 32 == 0):
             # batch gate: the stem's layout win exists because at small batch
             # XLA pads C=32 onto the 128-lane axis (4x bytes).  At batch 128
             # the batch dim fills the lanes exactly (no padding tax) and the
@@ -406,7 +407,8 @@ class DarknetSpec:
         latency 1.19 → 2.39 ms, a 2x LOSS; batch-32 +2.7%, within noise).
         The training stem's win does not transfer."""
         start = 0
-        if fused_stem and x.shape[0] < 64:
+        if (fused_stem and x.shape[0] < 64
+                and x.shape[1] % 32 == 0 and x.shape[2] % 32 == 0):
             from ..ops.stem import stem_conv_pool_infer, stem_supported
             if stem_supported(self, compute_dtype):
                 p0 = folded_params[self.layers[0].name]

@@ -89,6 +89,9 @@ def stem_supported(spec, compute_dtype) -> bool:
 
 
 def _dims(H: int, W: int) -> Tuple[int, int, int]:
+    # H, W must be multiples of 2*TP so the (B, H/2 // TP) grid tiles the
+    # pooled rows exactly — true for every darknet input (multiples of 32)
+    assert H % (2 * _TP) == 0 and W % 2 == 0, (H, W)
     hp, wp = H // 2, W // 2
     wl2 = ((wp + 2 + 127) // 128) * 128
     return hp, wp, wl2
