@@ -186,8 +186,10 @@ def bench_train_step(batch: int = TRAIN_BATCH, chain: int = TRAIN_CHAIN):
     so one sync times ``chain`` real sequential steps (reference hot loop
     ``train.py:76-129``).  Default is the reference config (batch 8);
     main() also reports the throughput-optimal batch-128 step, where the
-    early layers' small-channel layout overheads amortize (~2.2x the
-    samples/s of batch 8).  Returns (step_ms, samples_per_sec).
+    early layers' small-channel layout overheads amortize (~1.55x the
+    samples/s of the fused-stem batch-8 step; the stem auto-disables at
+    batch >= 64 where batch fills the lane axis).  Returns
+    (step_ms, samples_per_sec).
     """
     from singleshotpose_tpu.ops.losses import RegionLossConfig
     from singleshotpose_tpu.training import init_train_state, make_train_step

@@ -533,10 +533,17 @@ class TrainRunConfig:
 
 
 def _resolve_fused_stem(rc: "TrainRunConfig") -> bool:
-    """Auto policy for the fused Pallas stem (see TrainRunConfig.fused_stem)."""
+    """Auto policy for the fused Pallas stem (see TrainRunConfig.fused_stem).
+
+    A sharded mesh always disables it — Mosaic custom calls carry no GSPMD
+    partitioning rule, so even an explicit ``fused_stem=True`` would fail to
+    compile under pjit rather than run; the mesh gate wins over the override.
+    """
+    if rc.mesh is not None:
+        return False
     if rc.fused_stem is not None:
         return rc.fused_stem
-    return (rc.mesh is None and rc.compute_dtype == jnp.bfloat16
+    return (rc.compute_dtype == jnp.bfloat16
             and jax.default_backend() == "tpu")
 
 

@@ -331,32 +331,30 @@ class DarknetSpec:
 
         ``fused_stem=True`` (train only) runs the leading conv+BN+leaky+pool
         block as the Pallas phase-split stem (``ops/stem.py``) when the spec
-        matches — silently falls back otherwise.
+        matches — silently falls back otherwise.  Caveat: the fused stem's
+        custom VJP returns a structural ZERO for the input-image cotangent
+        (training never differentiates w.r.t. the image); for input-gradient
+        uses (saliency, adversarial perturbations) keep ``fused_stem=False``.
         """
         if train and batch_stats is None:
             raise ValueError("train=True requires batch_stats")
         new_stats: Dict[str, Dict[str, jax.Array]] = {}
         start = 0
-        if (fused_stem and train and x.shape[0] < 64
-                and x.shape[1] % 32 == 0 and x.shape[2] % 32 == 0):
-            # batch gate: the stem's layout win exists because at small batch
-            # XLA pads C=32 onto the 128-lane axis (4x bytes).  At batch 128
-            # the batch dim fills the lanes exactly (no padding tax) and the
-            # kernel's extra y_phases traffic loses: measured 1133 sps
-            # unfused vs 1058 fused at B=128; 14.9 -> 10.9 ms at B=8.
+        if fused_stem and train:
             from ..ops.stem import stem_supported, stem_conv_bn_pool_train
-            if stem_supported(self, compute_dtype):
+            # shape gate inside stem_supported: the stem wins only while
+            # C=32 pads the 128-lane axis (batch < 64; measured 1133 sps
+            # unfused vs 1058 fused at B=128, 14.9 -> 10.9 ms at B=8)
+            if stem_supported(self, compute_dtype, x.shape):
                 spec0 = self.layers[0]
                 p0 = params[spec0.name]
                 st0 = batch_stats[spec0.name]
                 n = x.shape[0] * x.shape[1] * x.shape[2]
                 x, bm, bv = stem_conv_bn_pool_train(
                     x, p0["w"], p0["scale"], p0["bias"])
-                unbiased = bv * (n / max(n - 1, 1))
-                new_stats[spec0.name] = {          # torch momentum-0.1 update
-                    "mean": 0.9 * st0["mean"] + 0.1 * bm,
-                    "var": 0.9 * st0["var"] + 0.1 * unbiased,
-                }
+                nm, nv = L.running_stat_update(st0["mean"], st0["var"],
+                                               bm, bv, n)
+                new_stats[spec0.name] = {"mean": nm, "var": nv}
                 start = 2
 
         def conv_fn(spec: ConvSpec, x):
@@ -407,10 +405,9 @@ class DarknetSpec:
         latency 1.19 → 2.39 ms, a 2x LOSS; batch-32 +2.7%, within noise).
         The training stem's win does not transfer."""
         start = 0
-        if (fused_stem and x.shape[0] < 64
-                and x.shape[1] % 32 == 0 and x.shape[2] % 32 == 0):
+        if fused_stem:
             from ..ops.stem import stem_conv_pool_infer, stem_supported
-            if stem_supported(self, compute_dtype):
+            if stem_supported(self, compute_dtype, x.shape):
                 p0 = folded_params[self.layers[0].name]
                 x = stem_conv_pool_infer(x, p0["w"], p0["b"])
                 start = 2
@@ -418,7 +415,13 @@ class DarknetSpec:
         def conv_fn(spec: ConvSpec, x):
             p = folded_params[spec.name]
             y = self._conv(spec, x, p["w"], compute_dtype) + p["b"]
-            return y.astype(compute_dtype) if compute_dtype is not None else y
+            # backbone (ex-BN) convs store bf16; the head conv (no BN) keeps
+            # the f32 bias-add — its regression output feeds the decoder and
+            # no later conv would have re-rounded it (same precision logic as
+            # quantize.py keeping the head un-quantized)
+            if compute_dtype is not None and spec.batch_normalize:
+                y = y.astype(compute_dtype)
+            return y
 
         return self._walk(x, conv_fn, folded_params, start=start)
 

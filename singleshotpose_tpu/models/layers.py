@@ -16,6 +16,7 @@ from jax import lax
 __all__ = [
     "conv2d",
     "batch_norm",
+    "running_stat_update",
     "leaky_relu",
     "max_pool",
     "max_pool_stride1",
@@ -76,11 +77,21 @@ def batch_norm_train(x: jax.Array, scale: jax.Array, bias: jax.Array,
     batch_mean = jnp.mean(x32, axis=(0, 1, 2))
     batch_var = jnp.mean(jnp.square(x32), axis=(0, 1, 2)) - jnp.square(batch_mean)
     n = x.shape[0] * x.shape[1] * x.shape[2]
-    unbiased = batch_var * (n / max(n - 1, 1))
     y = batch_norm(x, scale, bias, batch_mean, batch_var, eps)
-    new_mean = (1 - momentum) * running_mean + momentum * batch_mean
-    new_var = (1 - momentum) * running_var + momentum * unbiased
+    new_mean, new_var = running_stat_update(
+        running_mean, running_var, batch_mean, batch_var, n,
+        momentum=momentum)
     return y, new_mean, new_var
+
+
+def running_stat_update(running_mean, running_var, batch_mean, batch_var,
+                        n: int, *, momentum: float = 0.1):
+    """torch-convention running-stat update (one source of truth, shared by
+    :func:`batch_norm_train` and the fused Pallas stem): ``running =
+    (1-m)*running + m*batch`` with the *unbiased* batch variance."""
+    unbiased = batch_var * (n / max(n - 1, 1))
+    return ((1 - momentum) * running_mean + momentum * batch_mean,
+            (1 - momentum) * running_var + momentum * unbiased)
 
 
 def leaky_relu(x: jax.Array, negative_slope: float = 0.1) -> jax.Array:

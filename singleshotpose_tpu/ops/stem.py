@@ -63,14 +63,23 @@ _EPS = 1e-4       # models.layers.BN_EPS
 FORCE_INTERPRET = False
 
 
-def stem_supported(spec, compute_dtype) -> bool:
+def stem_supported(spec, compute_dtype, shape=None) -> bool:
     """True when ``spec``'s first two layers are the fusable stem pattern and
-    the compute dtype is bf16 (the layout win assumes bf16 activations)."""
+    the compute dtype is bf16 (the layout win assumes bf16 activations).
+
+    ``shape``: optional input (B, H, W, C) — when given, also applies the
+    measured batch gate (the stem wins only while C=32 pads the 128-lane
+    axis, i.e. batch < 64; at batch 128 the batch dim fills the lanes and
+    the unfused path is faster) and the 32-multiple H/W requirement."""
     from ..models.darknet import ConvSpec, MaxPoolSpec
     if compute_dtype != jnp.bfloat16:
         return False
     if jax.default_backend() != "tpu" and not FORCE_INTERPRET:
         return False
+    if shape is not None:
+        B, H, W = shape[0], shape[1], shape[2]
+        if B >= 64 or H % 32 or W % 32:
+            return False
     if len(spec.layers) < 2:
         return False
     c, m = spec.layers[0], spec.layers[1]

@@ -173,3 +173,36 @@ def test_train_step_on_8_device_mesh(tiny_spec):
     w_sharded = np.asarray(state2.params["conv_1"]["w"])
     w_single = np.asarray(state1b.params["conv_1"]["w"])
     np.testing.assert_allclose(w_sharded, w_single, rtol=1e-4, atol=1e-6)
+
+
+def test_train_step_on_8_device_mesh_mp4(tiny_spec):
+    """Tensor-parallel degree 4 (data=2 x model=4): the output-channel
+    sharding and GSPMD collectives must hold at higher mp than the default
+    2 — SPMD result == single-device result."""
+    mesh = make_mesh(dp=2, mp=4)
+    assert mesh.shape == {"data": 2, "model": 4}
+    params, bstats = tiny_spec.init_params(jax.random.PRNGKey(0))
+    params = jax.tree.map(jax.device_put, params,
+                          param_shardings(tiny_spec, mesh))
+    bstats = jax.tree.map(jax.device_put, bstats,
+                          batch_stats_shardings(tiny_spec, mesh))
+    state = TrainState(params, jax.tree.map(jnp.asarray, bstats),
+                       jax.tree.map(jnp.zeros_like, params),
+                       jnp.asarray(0, jnp.int32))
+    cfg = RegionLossConfig.single()
+    step = make_train_step(tiny_spec, cfg, weight_decay=0.002, momentum=0.9,
+                           compute_dtype=None, donate=False)
+    imgs, tgt = shard_host_batch(
+        mesh, np.random.RandomState(5).rand(8, 64, 64, 3).astype(np.float32),
+        _tiny_target(8))
+    state2, stats = step(state, imgs, tgt, 0.00025, 100)
+
+    params1, bstats1 = tiny_spec.init_params(jax.random.PRNGKey(0))
+    state1 = init_train_state(params1, bstats1)
+    state1b, stats1 = step(state1, jnp.asarray(np.asarray(imgs)),
+                           jnp.asarray(np.asarray(tgt)), 0.00025, 100)
+    np.testing.assert_allclose(float(stats["loss"]), float(stats1["loss"]),
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(state2.params["conv_1"]["w"]),
+                               np.asarray(state1b.params["conv_1"]["w"]),
+                               rtol=1e-4, atol=1e-6)
