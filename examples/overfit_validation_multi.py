@@ -52,7 +52,8 @@ for b in range(B):
 net = yolo_pose_multi()
 state = init_train_state(*net.init_params(jax.random.PRNGKey(0)))
 cfg = RegionLossConfig.multi(anchors=net.anchors, pretrain_num_epochs=15)
-step = make_train_step(net, cfg, weight_decay=0.0, momentum=0.9)
+step = make_train_step(net, cfg, weight_decay=0.0, momentum=0.9,
+                       fused_stem=jax.default_backend() == "tpu")
 imgs_d = jax.device_put(jnp.asarray(imgs)); tgt_d = jax.device_put(jnp.asarray(tgt))
 
 t0=time.time()
