@@ -1,0 +1,399 @@
+"""On-device multi-object scene synthesis — the OCCLUSION data path moved
+onto the TPU via an HBM-resident frame bank.
+
+The host synthesizer (``data/synth_multi.py``, itself a rebuild of the
+reference's ``multi_obj_pose_estimation/image_multi.py:299-383``) decodes and
+composites on CPU workers: per scene it re-reads the base frame, up to ~8
+companion frames with masks, and a background, then runs rejection sampling
+in numpy.  On a slow host that work bounds multi-object training throughput.
+
+This backend removes the host from the loop entirely.  LINEMOD is small —
+13 objects × ~190 train frames × (640·480·3 u8 + mask) ≈ 3 GB — so the
+**whole training corpus is decoded ONCE and parked in HBM**
+(:class:`DeviceSceneBank`).  Scene synthesis then becomes a pure function of
+(bank, base index, PRNG key): one jitted XLA program gathers frames, does the
+crop-jitter resamples as one-hot MXU matmuls (``device_augment``), runs the
+mask-intersection rejection as a fixed-width propose-A-then-pick (no
+data-dependent loop), composites, and emits (images, 50-slot labels) — both
+already on device, feeding the fused train step with zero host↔device image
+traffic after warm-up.
+
+Semantics preserved from the host path (reference citations in
+``synth_multi.py``):
+  * base frame: crop-jitter + nearest resize + wrap-around ±``shift`` px
+    roll; companions: crop-jitter + resize, no shift,
+  * rejection on mask-intersection ratio < ``max_intersection`` over a
+    ``pixel_threshold`` binarization; first acceptable proposal wins (the
+    host tries sequentially; proposing A candidates and taking the first
+    acceptable draws from the same distribution),
+  * paste order: companions over base, base re-pasted last (always fully
+    visible), VOC background behind everything,
+  * labels: ``x' = x/sx − dx`` keypoint transform, centroid clamped,
+    2D extents recomputed from transformed keypoints.
+
+Documented divergences (all parity-by-metric, like every device backend):
+  * JAX threefry RNG, batch-level keys — draw streams differ from the
+    numpy host path,
+  * the host re-reads a frame's label file per use; the bank stores the
+    FIRST label row per frame (LINEMOD singles have exactly one),
+  * backgrounds are pre-resized on host to the bank frame size once, then
+    nearest-resized to the scene size on device (one extra nearest hop),
+  * no flip mode — the reference's image-only flip corrupts labels
+    (``synth_multi.py`` divergence note); the device path only implements
+    the fixed default ``flip="off"``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.labels import (label_path_from_image, mask_path_from_image,
+                            read_truths)
+from .device_augment import _crop_resize_one
+from .synth_multi import ADD_OBJS, OCCLUSION_CLASSES, SynthConfig
+
+__all__ = ["DeviceSceneBank", "DeviceSynthStatic", "synthesize_batch",
+           "build_scene_bank"]
+
+_MAX_COMPANIONS = max(len(v) for v in ADD_OBJS.values())  # 8
+
+
+@dataclasses.dataclass(frozen=True)
+class DeviceSynthStatic:
+    """Static (compile-time) synthesis parameters, from ``SynthConfig``."""
+    jitter: float = 0.1
+    shift: int = 80
+    pixel_threshold: float = 200.0 / 255.0
+    max_intersection: float = 0.2
+    attempts: int = 6            # proposals per companion (host: max_attempts
+    num_keypoints: int = 9       # sequential tries; 6 parallel proposals give
+    max_num_gt: int = 50         # the same acceptance power in one pass)
+
+    @classmethod
+    def from_config(cls, cfg: SynthConfig,
+                    attempts: int = 6) -> "DeviceSynthStatic":
+        return cls(jitter=cfg.jitter, shift=cfg.shift,
+                   pixel_threshold=cfg.pixel_threshold / 255.0,
+                   max_intersection=cfg.max_intersection,
+                   attempts=attempts, num_keypoints=cfg.num_keypoints,
+                   max_num_gt=cfg.max_num_gt)
+
+
+class DeviceSceneBank(NamedTuple):
+    """HBM-resident LINEMOD corpus: every train frame + mask + label row.
+
+    A pytree of arrays (device-placed via :meth:`device_put`):
+      images  (N, H, W, 3) u8   masks (N, H, W) u8   labels (N, 2K+3) f32
+      obj_start/obj_count (13,) i32 — per-class contiguous frame ranges
+      companions (13, 8) i32    — ADD_OBJS as class ids, −1 padded
+      bgs (NB, H, W, 3) u8      — pre-resized backgrounds (≥1 row; zeros
+                                  when no backgrounds were given)
+      base_index/base_class (len(ds),) i32 — dataset line → bank row/class
+    """
+    images: jax.Array
+    masks: jax.Array
+    labels: jax.Array
+    obj_start: jax.Array
+    obj_count: jax.Array
+    companions: jax.Array
+    bgs: jax.Array
+    base_index: jax.Array
+    base_class: jax.Array
+
+    @property
+    def frame_shape(self) -> Tuple[int, int]:
+        return self.images.shape[1], self.images.shape[2]   # (H, W)
+
+    def device_put(self, device=None) -> "DeviceSceneBank":
+        return jax.tree.map(lambda a: jax.device_put(a, device), self)
+
+    def nbytes(self) -> int:
+        return sum(np.asarray(a).nbytes for a in
+                   (self.images, self.masks, self.labels, self.bgs))
+
+
+def _load_frame(path: str, num_keypoints: int, decode) -> Tuple[
+        np.ndarray, np.ndarray, np.ndarray]:
+    """(image u8 HWC, mask u8 HW, first label row f32) for one frame."""
+    img = np.asarray(decode(path), np.uint8)
+    mask = np.asarray(decode(mask_path_from_image(path)))
+    if mask.ndim == 3:
+        mask = mask.max(-1)
+    mask = mask.astype(np.uint8)
+    nl = 2 * num_keypoints + 3
+    row = np.zeros(nl, np.float32)
+    labpath = label_path_from_image(path)
+    if os.path.exists(labpath) and os.path.getsize(labpath):
+        truths = read_truths(labpath, num_keypoints)
+        if truths.size:
+            row = truths.reshape(-1, nl)[0].astype(np.float32)
+    return img, mask, row
+
+
+def build_scene_bank(cfg: SynthConfig, base_paths: Sequence[str],
+                     bg_paths: Sequence[str] = (), *,
+                     decode=None,
+                     max_frames_per_obj: Optional[int] = None,
+                     max_backgrounds: int = 64) -> DeviceSceneBank:
+    """Decode the corpus once on host and assemble the bank (numpy; call
+    ``.device_put()`` to park it in HBM).
+
+    ``base_paths``: the training list (each line a LINEMOD single frame);
+    every base frame is included in the bank even if absent from its
+    object's ``train.txt``.  Per-object companion pools come from
+    ``<linemod_root>/<obj>/train.txt`` exactly like the host synthesizer
+    (``synth_multi.py:195-211``); missing objects get an empty pool.
+    """
+    from .pipeline import load_image
+    decode = decode or load_image
+
+    # per-object companion pools (same path resolution as the host synth)
+    pools: Dict[str, List[str]] = {}
+    base = os.path.dirname(cfg.linemod_root.rstrip("/"))
+    for obj in OCCLUSION_CLASSES:
+        path = os.path.join(cfg.linemod_root, obj, "train.txt")
+        try:
+            with open(path) as f:
+                lines = [ln.strip() for ln in f if ln.strip()]
+        except FileNotFoundError:
+            pools[obj] = []
+            continue
+        lines = [ln if os.path.isabs(ln) else os.path.join(base, ln)
+                 for ln in lines]
+        if max_frames_per_obj is not None:
+            lines = lines[:max_frames_per_obj]
+        pools[obj] = lines
+
+    # union of pools and base paths, contiguous per object
+    index: Dict[str, int] = {}
+    frames: List[str] = []
+    obj_start = np.zeros(len(OCCLUSION_CLASSES), np.int32)
+    obj_count = np.zeros(len(OCCLUSION_CLASSES), np.int32)
+    for ci, obj in enumerate(OCCLUSION_CLASSES):
+        obj_start[ci] = len(frames)
+        for p in pools[obj]:
+            if p not in index:
+                index[p] = len(frames)
+                frames.append(p)
+        obj_count[ci] = len(frames) - obj_start[ci]
+    for p in base_paths:
+        ap = os.path.abspath(p)
+        if ap not in index and p not in index:
+            index[p] = len(frames)
+            frames.append(p)
+
+    imgs, msks, rows = [], [], []
+    shape = None
+    for p in frames:
+        img, mask, row = _load_frame(p, cfg.num_keypoints, decode)
+        if shape is None:
+            shape = img.shape
+        elif img.shape != shape:
+            raise ValueError(
+                f"bank frames must share one native size; {p} is "
+                f"{img.shape} vs {shape} (LINEMOD is uniformly 640x480)")
+        imgs.append(img)
+        msks.append(mask)
+        rows.append(row)
+    if not frames:
+        raise ValueError("empty scene bank: no train frames found")
+    H, W = shape[:2]
+
+    comp = np.full((len(OCCLUSION_CLASSES), _MAX_COMPANIONS), -1, np.int32)
+    cls_of = {o: i for i, o in enumerate(OCCLUSION_CLASSES)}
+    for obj, names in ADD_OBJS.items():
+        for j, n in enumerate(names):
+            comp[cls_of[obj], j] = cls_of[n]
+
+    base_index = np.array(
+        [index[p if p in index else os.path.abspath(p)]
+         for p in base_paths], np.int32)
+    base_class = np.zeros(len(base_paths), np.int32)
+    for i, p in enumerate(base_paths):
+        obj = os.path.basename(os.path.dirname(os.path.dirname(p)))
+        base_class[i] = cls_of.get(obj, 0)
+
+    if bg_paths:
+        sel = list(bg_paths)[:max_backgrounds]
+        bgs = np.stack([_resize_nearest_np(
+            np.asarray(decode(p), np.uint8), W, H) for p in sel])
+    else:
+        bgs = np.zeros((1, H, W, 3), np.uint8)
+
+    return DeviceSceneBank(
+        np.stack(imgs), np.stack(msks), np.stack(rows, 0).astype(np.float32),
+        obj_start, obj_count, comp, bgs, base_index, base_class)
+
+
+def _resize_nearest_np(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Center-sample nearest resize (same rule as ``augment.resize_nearest``)."""
+    h, w = img.shape[:2]
+    ys = np.floor((np.arange(out_h) + 0.5) * h / out_h).astype(int)
+    xs = np.floor((np.arange(out_w) + 0.5) * w / out_w).astype(int)
+    return img[np.clip(ys, 0, h - 1)][:, np.clip(xs, 0, w - 1)]
+
+
+# ---------------------------------------------------------------------------
+# device-side pieces
+# ---------------------------------------------------------------------------
+
+
+def _draw_crop(key, W: int, H: int, jitter: float):
+    """One crop-jitter draw → (pleft, ptop, swidth, sheight) traced ints.
+
+    Same distribution as ``augment_with_mask`` (``synth_multi.py:146-170``):
+    four independent U{−d..d} edge offsets."""
+    dw, dh = int(W * jitter), int(H * jitter)
+    p = jax.random.randint(key, (4,), -max(dw, 0), max(dw, 0) + 1)
+    q = jax.random.randint(jax.random.fold_in(key, 1), (4,),
+                           -max(dh, 0), max(dh, 0) + 1)
+    pleft, pright = p[0], p[1]
+    ptop, pbot = q[2], q[3]
+    return pleft, ptop, W - pleft - pright, H - ptop - pbot
+
+
+def _transform_row(row, dx, dy, sxr, syr, K: int):
+    """Device ``transform_truths`` for ONE label row: ``x' = x·sxr − dx``,
+    centroid clamped to [0, 0.999], 2D extents recomputed
+    (``augment.py:165-193`` with ``recompute_extents=True``)."""
+    nl = 2 * K + 3
+    xs = row[1:2 * K + 1:2] * sxr - dx
+    ys = row[2:2 * K + 1:2] * syr - dy
+    xs = xs.at[0].set(jnp.clip(xs[0], 0.0, 0.999))
+    ys = ys.at[0].set(jnp.clip(ys[0], 0.0, 0.999))
+    out = jnp.zeros(nl, row.dtype)
+    out = out.at[0].set(row[0])
+    out = out.at[1:2 * K + 1:2].set(xs)
+    out = out.at[2:2 * K + 1:2].set(ys)
+    out = out.at[nl - 2].set(xs.max() - xs.min())
+    out = out.at[nl - 1].set(ys.max() - ys.min())
+    # a zero source row stays zero (empty label slot convention)
+    return jnp.where(jnp.any(row[1:2 * K + 1] != 0), out,
+                     jnp.zeros(nl, row.dtype))
+
+
+def _synthesize_one(bank: DeviceSceneBank, base_i, key, *,
+                    out_w: int, out_h: int, st: DeviceSynthStatic):
+    """One composite scene + (max_num_gt, nl) labels, pure device fn."""
+    H, W = bank.frame_shape
+    K, nl = st.num_keypoints, 2 * st.num_keypoints + 3
+    thr = st.pixel_threshold
+    kb, kshift, kperm, kbg, kscan = jax.random.split(key, 5)
+
+    # ---- base frame: jitter-crop + resize + wrap-around shift -------------
+    img = bank.images[base_i].astype(jnp.float32) / 255.0
+    mask = (bank.masks[base_i].astype(jnp.float32) / 255.0)[..., None]
+    pleft, ptop, sw, sh = _draw_crop(kb, W, H, st.jitter)
+    sx, sy = sw / W, sh / H
+    shift_xy = jax.random.randint(kshift, (2,), -st.shift, st.shift + 1)
+    dx = (pleft / W) / sx - shift_xy[0] / out_w
+    dy = (ptop / H) / sy - shift_xy[1] / out_h
+    img_s = _crop_resize_one(img, pleft, ptop, sw, sh, out_w, out_h)
+    mask_s = _crop_resize_one(mask, pleft, ptop, sw, sh, out_w, out_h)
+    img_s = jnp.roll(img_s, (shift_xy[1], shift_xy[0]), axis=(0, 1))
+    mask_s = jnp.roll(mask_s, (shift_xy[1], shift_xy[0]), axis=(0, 1))
+
+    labels = jnp.zeros((st.max_num_gt, nl), jnp.float32)
+    labels = labels.at[0].set(_transform_row(
+        bank.labels[base_i], dx, dy, 1.0 / sx, 1.0 / sy, K))
+
+    base_masked = img_s * mask_s
+    canvas = base_masked
+    total_mask = mask_s
+    count = jnp.asarray(1, jnp.int32)
+
+    # ---- companions: propose-A placements, take the first acceptable ------
+    comp = bank.companions[bank.base_class[base_i]]          # (8,) class ids
+    comp = jnp.take(comp, jax.random.permutation(kperm, _MAX_COMPANIONS))
+
+    def propose_masks(cls, key):
+        """A proposals: (frame idx, crop params, resized mask)."""
+        nactive = jnp.maximum(bank.obj_count[cls], 1)
+        ks = jax.random.split(key, st.attempts)
+
+        def one(k):
+            kf, kc = jax.random.split(k)
+            fi = bank.obj_start[cls] + jax.random.randint(kf, (), 0, nactive)
+            pl, pt, w_, h_ = _draw_crop(kc, W, H, st.jitter)
+            m = (bank.masks[fi].astype(jnp.float32) / 255.0)[..., None]
+            mr = _crop_resize_one(m, pl, pt, w_, h_, out_w, out_h)
+            return fi, jnp.stack([pl, pt, w_, h_]), mr
+
+        return jax.vmap(one)(ks)
+
+    def body(carry, slot_in):
+        canvas, total_mask, labels, count, key = carry
+        cls, kslot = slot_in
+        fis, params, mrs = propose_masks(cls, kslot)        # (A,), (A,4), (A,h,w,1)
+        occupied = total_mask[..., 0] > thr
+        xx = mrs[..., 0] > thr                              # (A, h, w)
+        area = jnp.sum(xx, axis=(1, 2)).astype(jnp.float32)
+        inter = jnp.sum(xx & occupied[None], axis=(1, 2)).astype(jnp.float32)
+        ok = (area >= 1.0) & (inter / jnp.maximum(area, 1.0)
+                              < st.max_intersection)
+        win = jnp.argmax(ok)                                # first acceptable
+        found = jnp.any(ok) & (cls >= 0) & (bank.obj_count[cls] > 0)
+
+        fi = fis[win]
+        pl, pt, w_, h_ = params[win, 0], params[win, 1], params[win, 2], \
+            params[win, 3]
+        omask_r = jnp.take(mrs, win, axis=0)
+        oimg = bank.images[fi].astype(jnp.float32) / 255.0
+        om_native = (bank.masks[fi].astype(jnp.float32) / 255.0)[..., None]
+        omasked_r = _crop_resize_one(oimg * om_native, pl, pt, w_, h_,
+                                     out_w, out_h)
+
+        osx, osy = w_ / W, h_ / H
+        odx, ody = (pl / W) / osx, (pt / H) / osy
+        row = _transform_row(bank.labels[fi], odx, ody, 1.0 / osx,
+                             1.0 / osy, K)
+
+        write = found & (count < st.max_num_gt)
+        new_canvas = omasked_r * omask_r + canvas * (1.0 - omask_r)
+        new_total = jnp.clip(omask_r + total_mask * (1.0 - omask_r), 0.0, 1.0)
+        canvas = jnp.where(found, new_canvas, canvas)
+        total_mask = jnp.where(found, new_total, total_mask)
+        slot = jnp.minimum(count, st.max_num_gt - 1)
+        labels = labels.at[slot].set(jnp.where(write, row, labels[slot]))
+        count = count + write.astype(jnp.int32)
+        return (canvas, total_mask, labels, count, key), None
+
+    slot_keys = jax.random.split(kscan, _MAX_COMPANIONS)
+    (canvas, total_mask, labels, count, _), _ = jax.lax.scan(
+        body, (canvas, total_mask, labels, count, kscan), (comp, slot_keys))
+
+    # ---- base re-pasted last, background behind everything ----------------
+    canvas = base_masked * mask_s + canvas * (1.0 - mask_s)
+    bgi = jax.random.randint(kbg, (), 0, bank.bgs.shape[0])
+    bg = bank.bgs[bgi].astype(jnp.float32) / 255.0
+    bg_r = _crop_resize_one(bg, jnp.asarray(0), jnp.asarray(0),
+                            jnp.asarray(W), jnp.asarray(H), out_w, out_h)
+    canvas = canvas * total_mask + bg_r * (1.0 - total_mask)
+    return canvas, labels.reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("out_w", "out_h", "st"))
+def synthesize_batch(bank: DeviceSceneBank, base_idx: jax.Array,
+                     key: jax.Array, *, out_w: int, out_h: int,
+                     st: DeviceSynthStatic):
+    """Batch of composite scenes, fully on device.
+
+    Args:
+      bank: device-placed :class:`DeviceSceneBank`.
+      base_idx: (B,) int32 indices into ``bank.base_index`` (dataset lines).
+      key: PRNG key (split per scene).
+    Returns (images (B, out_h, out_w, 3) f32 in [0,1],
+             labels (B, max_num_gt·(2K+3)) f32).
+    """
+    rows = jnp.take(bank.base_index, base_idx)
+    keys = jax.random.split(key, base_idx.shape[0])
+    return jax.vmap(functools.partial(
+        _synthesize_one, bank, out_w=out_w, out_h=out_h, st=st))(rows, keys)

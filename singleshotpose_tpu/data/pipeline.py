@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import time
 from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Iterator, Optional, Sequence, Tuple
 
@@ -301,6 +302,7 @@ class Loader:
         # the non-synthesized paths have a native kernel
         self._native = None
         self._device = backend == "device"
+        self._device_synth = False
         if backend in ("auto", "native") and dataset.synthesizer is None:
             try:
                 from ..native import NativeLoader
@@ -311,6 +313,16 @@ class Loader:
         elif backend == "native" and dataset.synthesizer is not None:
             raise ValueError("native backend does not cover the "
                              "scene-synthesis path")
+        elif backend == "device_synth":
+            # on-device scene synthesis from an HBM-resident frame bank
+            # (data/device_synth.py); bank built lazily on first iteration
+            if dataset.synthesizer is None or \
+                    not hasattr(dataset.synthesizer, "cfg"):
+                raise ValueError(
+                    "device_synth backend needs a PoseDataset with a "
+                    "MultiObjectSynthesizer (its SynthConfig seeds the bank)")
+            self._device_synth = True
+            self._synth_bank = None
         elif self._device:
             if dataset.synthesizer is not None:
                 raise ValueError("device backend does not cover the "
@@ -345,6 +357,10 @@ class Loader:
             idxs = order[start:start + self.batch_size]
             shape = self._batch_shape()
 
+            if self._device_synth:
+                yield self._device_synth_batch(idxs, shape)
+                continue
+
             if self._device and self.ds.train:
                 yield self._device_batch(idxs, shape)
                 continue
@@ -377,6 +393,35 @@ class Loader:
             labels = np.stack([r[1] for r in results])
             self.seen += len(idxs)
             yield imgs, labels
+
+    def _device_synth_batch(self, idxs, shape):
+        """Synthesize one multi-object batch fully on device.
+
+        First call decodes the whole LINEMOD corpus into an HBM-resident
+        frame bank (``data/device_synth.py``); afterwards batches are a pure
+        jitted function of (bank, indices, PRNG key) — zero host↔device
+        image traffic.  Yields device arrays (images f32, labels f32).
+        """
+        import jax
+
+        from . import device_synth as DS
+
+        if self._synth_bank is None:
+            scfg = self.ds.synthesizer.cfg
+            t0 = time.time()
+            self._synth_bank = DS.build_scene_bank(
+                scfg, self.ds.lines, self.ds.bg_file_names).device_put()
+            self._synth_static = DS.DeviceSynthStatic.from_config(scfg)
+            print(f"device_synth bank: {self._synth_bank.images.shape[0]} "
+                f"frames, {self._synth_bank.nbytes() / 1e6:.0f} MB in HBM "
+                f"({time.time() - t0:.1f}s to build)")
+        w, h = shape
+        key = jax.random.PRNGKey(self.rng.randint(2 ** 31 - 1))
+        imgs, labels = DS.synthesize_batch(
+            self._synth_bank, np.asarray(idxs, np.int32), key,
+            out_w=w, out_h=h, st=self._synth_static)
+        self.seen += len(idxs)
+        return imgs, labels
 
     def _device_batch(self, idxs, shape):
         """Decode on host, augment on the accelerator.

@@ -915,15 +915,23 @@ def run_training_multi(datacfg: str, modelcfg: Union[str, DarknetSpec],
                      cache_decoded=rc.cache_decoded)
     loader_batch, seen0 = _multihost_local_shard(ds, batch_size, seen0,
                                                  rc.mesh)
+    multi_backend = rc.loader_backend
+    if multi_backend in ("native", "device"):
+        raise ValueError(
+            f"loader_backend={multi_backend!r} does not cover the "
+            "scene-synthesis path; use 'python' (host synth, default) or "
+            "'device_synth' (HBM-resident bank, data/device_synth.py)")
+    if multi_backend == "auto":
+        multi_backend = "python"
+    on_device = multi_backend == "device_synth"
     loader = Loader(ds, loader_batch, schedule=MULTI_SCHEDULE, seen=seen0,
                     num_workers=rc.num_workers, seed=rc.seed,
-                    backend=rc.loader_backend,
-                    out_uint8=rc.loader_backend != "device")
+                    backend=multi_backend, out_uint8=not on_device)
     if rc.precompile_buckets:
         _precompile_buckets(step, state, MULTI_SCHEDULE.all_widths,
                             loader_batch, 50 * (2 * spec.num_keypoints + 3),
-                            rc, image_dtype=np.uint8
-                            if rc.loader_backend != "device" else np.float32)
+                            rc, image_dtype=np.float32
+                            if on_device else np.uint8)
 
     history: Dict[str, List] = {"training_iters": [], "training_losses": [],
                                 "testing_iters": [], "testing_accuracies": []}
