@@ -230,6 +230,71 @@ def bench_train_step(batch: int = TRAIN_BATCH, chain: int = TRAIN_CHAIN):
     return step_ms, batch * chain / dt
 
 
+def bench_synth_scenes(batch: int = 32, iters: int = 12):
+    """On-device multi-object scene synthesis throughput (scenes/s).
+
+    Fabricates a LINEMOD-scale frame bank in memory (13 objects × 30 frames
+    at 640×480 — compute cost per scene is bank-size independent) and times
+    ``data/device_synth._synthesize_one`` vmapped over a batch at 416²,
+    chained on-device (iteration i+1's indices consume iteration i's pixels
+    so nothing hoists).  Replaces the host path's per-scene decode+paste loop
+    (reference ``image_multi.py:299-383``).
+    """
+    from singleshotpose_tpu.data.device_synth import (DeviceSceneBank,
+                                                      DeviceSynthStatic,
+                                                      _synthesize_one)
+    from singleshotpose_tpu.data.synth_multi import (ADD_OBJS,
+                                                     OCCLUSION_CLASSES)
+
+    rng = np.random.RandomState(0)
+    NOBJ, NF = 13, 30
+    N = NOBJ * NF
+    imgs = rng.randint(0, 255, (N, 480, 640, 3), np.uint8)
+    masks = np.zeros((N, 480, 640), np.uint8)
+    for i in range(N):
+        cx, cy = rng.randint(100, 540), rng.randint(80, 400)
+        masks[i, cy - 50:cy + 50, cx - 50:cx + 50] = 255
+    labels = np.zeros((N, 21), np.float32)
+    labels[:, 0] = np.repeat(np.arange(NOBJ), NF)
+    labels[:, 1:19:2] = rng.uniform(0.3, 0.7, (N, 9))
+    labels[:, 2:19:2] = rng.uniform(0.3, 0.7, (N, 9))
+    labels[:, 19:21] = 0.2
+    comp = np.full((13, 8), -1, np.int32)
+    cls_of = {o: i for i, o in enumerate(OCCLUSION_CLASSES)}
+    for obj, names in ADD_OBJS.items():
+        for j, nme in enumerate(names):
+            comp[cls_of[obj], j] = cls_of[nme]
+    bank = DeviceSceneBank(
+        imgs, masks, labels, (np.arange(NOBJ) * NF).astype(np.int32),
+        np.full(NOBJ, NF, np.int32), comp,
+        rng.randint(0, 255, (16, 480, 640, 3), np.uint8),
+        np.arange(N, dtype=np.int32),
+        labels[:, 0].astype(np.int32)).device_put()
+    st = DeviceSynthStatic(propose_scale=4)
+
+    @partial(jax.jit, static_argnames=("iters",))
+    def chained(bank, base0, key, iters):
+        def body(i, carry):
+            idxs, acc = carry
+            keys = jax.random.split(jax.random.fold_in(key, i), batch)
+            rows = jnp.take(bank.base_index, idxs)
+            out, _lab = jax.vmap(partial(_synthesize_one, bank, out_w=SIZE,
+                                         out_h=SIZE, st=st))(rows, keys)
+            idxs = (idxs + 1 + (out[0, 0, 0, 0] * 0).astype(jnp.int32)) % N
+            return idxs, acc + out.mean()
+        _, acc = jax.lax.fori_loop(
+            0, iters, body, (base0, jnp.float32(0)))
+        return acc
+
+    base0 = jnp.arange(batch, dtype=jnp.int32)
+    key = jax.random.PRNGKey(0)
+    float(chained(bank, base0, key, iters))          # compile + warm
+    t0 = time.perf_counter()
+    float(chained(bank, base0, key, iters))
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
 def bench_train_e2e():
     """End-to-end training throughput: native u8 loader (decode cached after
     epoch 1 + bg LRU) → h2d → fused donated step, steady-state epoch.
@@ -390,6 +455,7 @@ def main():
         extra["train_samples_per_sec"] = round(tps, 1)
         _, tps128 = bench_train_step(batch=128, chain=8)
         extra["train_sps_b128"] = round(tps128, 1)
+        extra["synth_scenes_per_sec"] = round(bench_synth_scenes(), 1)
         try:
             extra["train_e2e_sps"] = round(bench_train_e2e(), 1)
         except (RuntimeError, OSError):

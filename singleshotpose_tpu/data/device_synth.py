@@ -57,7 +57,6 @@ import jax.numpy as jnp
 
 from ..utils.labels import (label_path_from_image, mask_path_from_image,
                             read_truths)
-from .device_augment import _crop_resize_one
 from .synth_multi import ADD_OBJS, OCCLUSION_CLASSES, SynthConfig
 
 __all__ = ["DeviceSceneBank", "DeviceSynthStatic", "synthesize_batch",
@@ -76,15 +75,22 @@ class DeviceSynthStatic:
     attempts: int = 6            # proposals per companion (host: max_attempts
     num_keypoints: int = 9       # sequential tries; 6 parallel proposals give
     max_num_gt: int = 50         # the same acceptance power in one pass)
+    propose_scale: int = 1       # mask-overlap test resolution divisor: 1 =
+                                 # the host's full-res ratio exactly; 4 (the
+                                 # from_config default) estimates it on a
+                                 # 4x-coarser grid — only scenes within
+                                 # ~1/(out/4)^2 of the 0.2 threshold can
+                                 # flip, and the winner's compositing mask
+                                 # is always resampled at full resolution
 
     @classmethod
-    def from_config(cls, cfg: SynthConfig,
-                    attempts: int = 6) -> "DeviceSynthStatic":
+    def from_config(cls, cfg: SynthConfig, attempts: int = 6,
+                    propose_scale: int = 4) -> "DeviceSynthStatic":
         return cls(jitter=cfg.jitter, shift=cfg.shift,
                    pixel_threshold=cfg.pixel_threshold / 255.0,
                    max_intersection=cfg.max_intersection,
                    attempts=attempts, num_keypoints=cfg.num_keypoints,
-                   max_num_gt=cfg.max_num_gt)
+                   max_num_gt=cfg.max_num_gt, propose_scale=propose_scale)
 
 
 class DeviceSceneBank(NamedTuple):
@@ -246,6 +252,35 @@ def _resize_nearest_np(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _crop_resize_u8(img_u8, pleft, ptop, swidth, sheight, out_w, out_h):
+    """Bit-exact u8 crop+nearest-resize on the MXU's int8 path.
+
+    Same sampling rule as ``device_augment._crop_resize_one`` but the
+    selection matmuls run s8×s8→s32: one-hot rows select ``v − 128`` (fits
+    s8 for any u8 ``v``), the +128 offset is restored afterwards.  Exact for
+    every u8 value — unlike a bf16 selection — and the int8 MXU mode is 2×
+    the bf16 rate (vs 6 bf16 passes for f32-HIGHEST, so ~12× on the matmul).
+    Returns f32 in [0,1] with out-of-bounds reads 0 (zero-padded crop).
+    """
+    ih, iw = img_u8.shape[0], img_u8.shape[1]
+    xs = pleft + jnp.floor((jnp.arange(out_w) + 0.5) * swidth / out_w)
+    ys = ptop + jnp.floor((jnp.arange(out_h) + 0.5) * sheight / out_h)
+    xin = (xs >= 0) & (xs <= iw - 1)
+    yin = (ys >= 0) & (ys <= ih - 1)
+    xi = jnp.clip(xs, 0, iw - 1).astype(jnp.int32)
+    yi = jnp.clip(ys, 0, ih - 1).astype(jnp.int32)
+    sel_y = jax.nn.one_hot(yi, ih, dtype=jnp.int8)          # (out_h, ih)
+    sel_x = jax.nn.one_hot(xi, iw, dtype=jnp.int8)          # (out_w, iw)
+    v = (img_u8.astype(jnp.int16) - 128).astype(jnp.int8)   # −128..127
+    rows = jnp.einsum("oi,iwc->owc", sel_y, v,
+                      preferred_element_type=jnp.int32)
+    rows = rows.astype(jnp.int8)            # single-selected values, exact
+    out = jnp.einsum("pw,owc->opc", sel_x, rows,
+                     preferred_element_type=jnp.int32) + 128
+    mask = (yin[:, None] & xin[None, :])[..., None]
+    return jnp.where(mask, out.astype(jnp.float32) / 255.0, 0.0)
+
+
 def _draw_crop(key, W: int, H: int, jitter: float):
     """One crop-jitter draw → (pleft, ptop, swidth, sheight) traced ints.
 
@@ -289,15 +324,19 @@ def _synthesize_one(bank: DeviceSceneBank, base_i, key, *,
     kb, kshift, kperm, kbg, kscan = jax.random.split(key, 5)
 
     # ---- base frame: jitter-crop + resize + wrap-around shift -------------
-    img = bank.images[base_i].astype(jnp.float32) / 255.0
-    mask = (bank.masks[base_i].astype(jnp.float32) / 255.0)[..., None]
+    ps = st.propose_scale
+    if out_w % ps or out_h % ps:
+        raise ValueError(f"propose_scale={ps} must divide the scene size "
+                         f"({out_w}x{out_h})")
     pleft, ptop, sw, sh = _draw_crop(kb, W, H, st.jitter)
     sx, sy = sw / W, sh / H
     shift_xy = jax.random.randint(kshift, (2,), -st.shift, st.shift + 1)
     dx = (pleft / W) / sx - shift_xy[0] / out_w
     dy = (ptop / H) / sy - shift_xy[1] / out_h
-    img_s = _crop_resize_one(img, pleft, ptop, sw, sh, out_w, out_h)
-    mask_s = _crop_resize_one(mask, pleft, ptop, sw, sh, out_w, out_h)
+    img_s = _crop_resize_u8(bank.images[base_i], pleft, ptop, sw, sh,
+                            out_w, out_h)
+    mask_s = _crop_resize_u8(bank.masks[base_i][..., None], pleft, ptop,
+                             sw, sh, out_w, out_h)
     img_s = jnp.roll(img_s, (shift_xy[1], shift_xy[0]), axis=(0, 1))
     mask_s = jnp.roll(mask_s, (shift_xy[1], shift_xy[0]), axis=(0, 1))
 
@@ -315,7 +354,8 @@ def _synthesize_one(bank: DeviceSceneBank, base_i, key, *,
     comp = jnp.take(comp, jax.random.permutation(kperm, _MAX_COMPANIONS))
 
     def propose_masks(cls, key):
-        """A proposals: (frame idx, crop params, resized mask)."""
+        """A proposals: (frame idx, crop params, overlap-test mask at
+        1/propose_scale resolution)."""
         nactive = jnp.maximum(bank.obj_count[cls], 1)
         ks = jax.random.split(key, st.attempts)
 
@@ -323,8 +363,8 @@ def _synthesize_one(bank: DeviceSceneBank, base_i, key, *,
             kf, kc = jax.random.split(k)
             fi = bank.obj_start[cls] + jax.random.randint(kf, (), 0, nactive)
             pl, pt, w_, h_ = _draw_crop(kc, W, H, st.jitter)
-            m = (bank.masks[fi].astype(jnp.float32) / 255.0)[..., None]
-            mr = _crop_resize_one(m, pl, pt, w_, h_, out_w, out_h)
+            mr = _crop_resize_u8(bank.masks[fi][..., None], pl, pt, w_, h_,
+                                 out_w // ps, out_h // ps)
             return fi, jnp.stack([pl, pt, w_, h_]), mr
 
         return jax.vmap(one)(ks)
@@ -332,9 +372,11 @@ def _synthesize_one(bank: DeviceSceneBank, base_i, key, *,
     def body(carry, slot_in):
         canvas, total_mask, labels, count, key = carry
         cls, kslot = slot_in
-        fis, params, mrs = propose_masks(cls, kslot)        # (A,), (A,4), (A,h,w,1)
-        occupied = total_mask[..., 0] > thr
-        xx = mrs[..., 0] > thr                              # (A, h, w)
+        fis, params, mrs = propose_masks(cls, kslot)   # (A,),(A,4),(A,h/ps,w/ps,1)
+        # overlap ratio on the coarse grid (exact when propose_scale == 1):
+        # stride-subsample the running coverage at the coarse cell centers
+        occupied = total_mask[ps // 2::ps, ps // 2::ps, 0] > thr
+        xx = mrs[..., 0] > thr                         # (A, h/ps, w/ps)
         area = jnp.sum(xx, axis=(1, 2)).astype(jnp.float32)
         inter = jnp.sum(xx & occupied[None], axis=(1, 2)).astype(jnp.float32)
         ok = (area >= 1.0) & (inter / jnp.maximum(area, 1.0)
@@ -345,11 +387,15 @@ def _synthesize_one(bank: DeviceSceneBank, base_i, key, *,
         fi = fis[win]
         pl, pt, w_, h_ = params[win, 0], params[win, 1], params[win, 2], \
             params[win, 3]
-        omask_r = jnp.take(mrs, win, axis=0)
-        oimg = bank.images[fi].astype(jnp.float32) / 255.0
-        om_native = (bank.masks[fi].astype(jnp.float32) / 255.0)[..., None]
-        omasked_r = _crop_resize_one(oimg * om_native, pl, pt, w_, h_,
-                                     out_w, out_h)
+        # full-resolution mask + integer masked-foreground for the winner
+        # only: floor(img*mask/255) is the host's mask_foreground truncation
+        # (synth_multi.py:83-89) exactly, u8 all the way into the int8 resize
+        omask_r = _crop_resize_u8(bank.masks[fi][..., None], pl, pt, w_, h_,
+                                  out_w, out_h)
+        omasked_u8 = ((bank.images[fi].astype(jnp.int32)
+                       * bank.masks[fi][..., None].astype(jnp.int32))
+                      // 255).astype(jnp.uint8)
+        omasked_r = _crop_resize_u8(omasked_u8, pl, pt, w_, h_, out_w, out_h)
 
         osx, osy = w_ / W, h_ / H
         odx, ody = (pl / W) / osx, (pt / H) / osy
@@ -373,9 +419,8 @@ def _synthesize_one(bank: DeviceSceneBank, base_i, key, *,
     # ---- base re-pasted last, background behind everything ----------------
     canvas = base_masked * mask_s + canvas * (1.0 - mask_s)
     bgi = jax.random.randint(kbg, (), 0, bank.bgs.shape[0])
-    bg = bank.bgs[bgi].astype(jnp.float32) / 255.0
-    bg_r = _crop_resize_one(bg, jnp.asarray(0), jnp.asarray(0),
-                            jnp.asarray(W), jnp.asarray(H), out_w, out_h)
+    bg_r = _crop_resize_u8(bank.bgs[bgi], jnp.asarray(0), jnp.asarray(0),
+                           jnp.asarray(W), jnp.asarray(H), out_w, out_h)
     canvas = canvas * total_mask + bg_r * (1.0 - total_mask)
     return canvas, labels.reshape(-1)
 

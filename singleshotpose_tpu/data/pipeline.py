@@ -277,7 +277,8 @@ class Loader:
                  fixed_shape: Optional[Tuple[int, int]] = None,
                  num_workers: int = 8, seed: int = 0,
                  drop_last: bool = True, backend: str = "auto",
-                 out_uint8: bool = False, out_yuv420: bool = False):
+                 out_uint8: bool = False, out_yuv420: bool = False,
+                 mesh=None):
         self.ds = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -323,6 +324,10 @@ class Loader:
                     "MultiObjectSynthesizer (its SynthConfig seeds the bank)")
             self._device_synth = True
             self._synth_bank = None
+            # optional ("data","model") mesh: the bank replicates, batch
+            # indices shard over "data", and GSPMD partitions the scene
+            # synthesis across chips — the data pipeline itself is SPMD
+            self._synth_mesh = mesh
         elif self._device:
             if dataset.synthesizer is not None:
                 raise ValueError("device backend does not cover the "
@@ -409,16 +414,27 @@ class Loader:
         if self._synth_bank is None:
             scfg = self.ds.synthesizer.cfg
             t0 = time.time()
-            self._synth_bank = DS.build_scene_bank(
-                scfg, self.ds.lines, self.ds.bg_file_names).device_put()
+            bank = DS.build_scene_bank(scfg, self.ds.lines,
+                                       self.ds.bg_file_names)
+            if self._synth_mesh is not None:
+                from ..parallel.sharding import replicated
+                bank = bank.device_put(replicated(self._synth_mesh))
+            else:
+                bank = bank.device_put()
+            self._synth_bank = bank
             self._synth_static = DS.DeviceSynthStatic.from_config(scfg)
             print(f"device_synth bank: {self._synth_bank.images.shape[0]} "
                 f"frames, {self._synth_bank.nbytes() / 1e6:.0f} MB in HBM "
                 f"({time.time() - t0:.1f}s to build)")
         w, h = shape
         key = jax.random.PRNGKey(self.rng.randint(2 ** 31 - 1))
+        base_idx = np.asarray(idxs, np.int32)
+        if self._synth_mesh is not None:
+            from ..parallel.sharding import batch_sharding
+            base_idx = jax.device_put(
+                base_idx, batch_sharding(self._synth_mesh, 1))
         imgs, labels = DS.synthesize_batch(
-            self._synth_bank, np.asarray(idxs, np.int32), key,
+            self._synth_bank, base_idx, key,
             out_w=w, out_h=h, st=self._synth_static)
         self.seen += len(idxs)
         return imgs, labels

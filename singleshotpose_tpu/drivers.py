@@ -924,9 +924,14 @@ def run_training_multi(datacfg: str, modelcfg: Union[str, DarknetSpec],
     if multi_backend == "auto":
         multi_backend = "python"
     on_device = multi_backend == "device_synth"
+    if on_device and jax.process_count() > 1:
+        raise ValueError(
+            "device_synth is single-process (the global-batch assembly path "
+            "expects host arrays); use the host synthesizer under multi-host")
     loader = Loader(ds, loader_batch, schedule=MULTI_SCHEDULE, seen=seen0,
                     num_workers=rc.num_workers, seed=rc.seed,
-                    backend=multi_backend, out_uint8=not on_device)
+                    backend=multi_backend, out_uint8=not on_device,
+                    mesh=rc.mesh if on_device else None)
     if rc.precompile_buckets:
         _precompile_buckets(step, state, MULTI_SCHEDULE.all_widths,
                             loader_batch, 50 * (2 * spec.num_keypoints + 3),

@@ -248,6 +248,27 @@ def test_loader_device_synth_feeds_train_step(fake_linemod, small_companions,
     assert int(stats["nGT"]) >= 2
 
 
+def test_synth_under_mesh_matches_unsharded(hand_bank):
+    """Batch indices sharded over the data axis: GSPMD partitions the scene
+    synthesis across chips; values must match the single-device run."""
+    from singleshotpose_tpu.parallel.sharding import (batch_sharding,
+                                                      make_mesh, replicated)
+    st = DeviceSynthStatic(jitter=0.0, shift=0, attempts=2)
+    idxs = np.zeros(8, np.int32)
+    key = jax.random.PRNGKey(5)
+    ref_imgs, ref_labs = synthesize_batch(hand_bank, idxs, key, out_w=32,
+                                          out_h=32, st=st)
+
+    mesh = make_mesh(jax.devices()[:8], dp=4, mp=2)
+    bank = hand_bank.device_put(replicated(mesh))
+    sidx = jax.device_put(idxs, batch_sharding(mesh, 1))
+    imgs, labs = synthesize_batch(bank, sidx, key, out_w=32, out_h=32, st=st)
+    assert len(imgs.sharding.device_set) == 8 or \
+        imgs.sharding.is_fully_replicated is False
+    np.testing.assert_array_equal(np.asarray(ref_imgs), np.asarray(imgs))
+    np.testing.assert_array_equal(np.asarray(ref_labs), np.asarray(labs))
+
+
 def test_loader_device_synth_requires_synthesizer(tmp_path):
     from singleshotpose_tpu.data.pipeline import Loader, PoseDataset
     listfile = tmp_path / "t.txt"
