@@ -190,6 +190,10 @@ def build_scene_bank(cfg: SynthConfig, base_paths: Sequence[str],
                 index[p] = len(frames)
                 frames.append(p)
         obj_count[ci] = len(frames) - obj_start[ci]
+        if obj_count[ci] == 0:
+            # empty class: park its (never-accepted) range at row 0 so no
+            # index arithmetic can reach one-past-the-end of the bank
+            obj_start[ci] = 0
     for p in base_paths:
         ap = os.path.abspath(p)
         if ap not in index and p not in index:
@@ -361,7 +365,13 @@ def _synthesize_one(bank: DeviceSceneBank, base_i, key, *,
 
         def one(k):
             kf, kc = jax.random.split(k)
-            fi = bank.obj_start[cls] + jax.random.randint(kf, (), 0, nactive)
+            # clamp defensively: cls may be −1 (padded slot) or an empty
+            # class, whose proposals are discarded via `found` — but the
+            # gather itself must never read past the bank (observed to
+            # crash the TPU runtime, not clamp, through the axon plugin)
+            fi = jnp.clip(
+                bank.obj_start[cls] + jax.random.randint(kf, (), 0, nactive),
+                0, bank.images.shape[0] - 1)
             pl, pt, w_, h_ = _draw_crop(kc, W, H, st.jitter)
             mr = _crop_resize_u8(bank.masks[fi][..., None], pl, pt, w_, h_,
                                  out_w // ps, out_h // ps)
