@@ -455,7 +455,12 @@ def main():
         extra["train_samples_per_sec"] = round(tps, 1)
         _, tps128 = bench_train_step(batch=128, chain=8)
         extra["train_sps_b128"] = round(tps128, 1)
-        extra["synth_scenes_per_sec"] = round(bench_synth_scenes(), 1)
+        try:
+            extra["synth_scenes_per_sec"] = round(bench_synth_scenes(), 1)
+        except Exception as e:        # degrade gracefully: a synth-bench
+            extra["synth_scenes_per_sec"] = None   # failure (e.g. HBM
+            print(f"# synth bench failed: {e!r}")   # pressure) must not
+                                                    # lose the other metrics
         try:
             extra["train_e2e_sps"] = round(bench_train_e2e(), 1)
         except (RuntimeError, OSError):

@@ -117,8 +117,7 @@ def _distort_hsv(img, dhue, dsat, dexp):
     return jnp.floor(jnp.clip(out * 255.0, 0.0, 255.0)) / 255.0
 
 
-def _crop_resize_one(img, pleft, ptop, swidth, sheight, out_w, out_h,
-                     precision=jax.lax.Precision.HIGHEST):
+def _crop_resize_one(img, pleft, ptop, swidth, sheight, out_w, out_h):
     """Zero-padded crop + center-sample nearest resize, dynamic crop params.
 
     Output pixel (x,y) samples source index
@@ -128,14 +127,13 @@ def _crop_resize_one(img, pleft, ptop, swidth, sheight, out_w, out_h,
     Implemented as two one-hot selection matmuls so the resample runs on the
     MXU: per-sample dynamic gathers lower to a serialized scatter/gather on
     TPU (measured ~7 s for a batch of 16 at 640×480→416²), while the
-    equivalent einsum with 0/1 selection matrices runs in milliseconds.  The
-    one-hot rows have a single 1, so the f32 accumulation is exact.
-
-    ``precision``: HIGHEST keeps u8/255 pixel values bit-exact through the
-    selection.  For 0/1-valued operands (binary masks) DEFAULT (one bf16
-    pass, ~8× the f32 matmul rate on TPU) is exact too — 0 and 1 are bf16
-    representable and each output element is a single selected input.
+    equivalent einsum with 0/1 selection matrices runs in milliseconds.
+    HIGHEST precision keeps u8/255 pixel values bit-exact through the
+    selection (one-hot rows have a single 1, so accumulation is exact);
+    ``device_synth._crop_resize_u8`` is the faster int8-MXU variant for u8
+    sources.
     """
+    precision = jax.lax.Precision.HIGHEST
     ih, iw = img.shape[0], img.shape[1]
     xs = pleft + jnp.floor((jnp.arange(out_w) + 0.5) * swidth / out_w)
     ys = ptop + jnp.floor((jnp.arange(out_h) + 0.5) * sheight / out_h)

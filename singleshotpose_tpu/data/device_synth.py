@@ -36,11 +36,25 @@ Documented divergences (all parity-by-metric, like every device backend):
     numpy host path,
   * the host re-reads a frame's label file per use; the bank stores the
     FIRST label row per frame (LINEMOD singles have exactly one),
-  * backgrounds are pre-resized on host to the bank frame size once, then
-    nearest-resized to the scene size on device (one extra nearest hop),
+  * backgrounds are a seeded random sample of ``max_backgrounds`` (default
+    256, ~0.9 MB each in HBM) of the background list — the host draws from
+    the full set (typically ~17k VOC images) per scene; they are
+    pre-resized on host to the bank frame size once, then nearest-resized
+    to the scene size on device (one extra nearest hop),
+  * ``attempts`` parallel proposals per companion vs the host's
+    ``max_attempts`` (30) sequential tries: the *accepted-placement
+    distribution* matches (first acceptable proposal, same per-proposal
+    law), but the companion-drop probability is higher — a slot whose
+    per-proposal acceptance is p drops with (1−p)^attempts instead of
+    (1−p)^30, so crowded scenes carry slightly fewer objects; raise
+    ``DeviceSynthStatic.attempts`` to trade throughput for parity,
+  * with ``propose_scale>1`` the ``area ≥ 1`` visibility test runs on the
+    coarse grid: a crop that leaves only a sliver of over-threshold mask
+    (no full coarse cell) is rejected where the host's full-res test
+    would accept a barely-visible companion,
   * no flip mode — the reference's image-only flip corrupts labels
     (``synth_multi.py`` divergence note); the device path only implements
-    the fixed default ``flip="off"``.
+    the fixed default ``flip="off"`` (``from_config`` rejects others).
 """
 
 from __future__ import annotations
@@ -57,6 +71,7 @@ import jax.numpy as jnp
 
 from ..utils.labels import (label_path_from_image, mask_path_from_image,
                             read_truths)
+from .augment import resize_nearest
 from .synth_multi import ADD_OBJS, OCCLUSION_CLASSES, SynthConfig
 
 __all__ = ["DeviceSceneBank", "DeviceSynthStatic", "synthesize_batch",
@@ -72,9 +87,11 @@ class DeviceSynthStatic:
     shift: int = 80
     pixel_threshold: float = 200.0 / 255.0
     max_intersection: float = 0.2
-    attempts: int = 6            # proposals per companion (host: max_attempts
-    num_keypoints: int = 9       # sequential tries; 6 parallel proposals give
-    max_num_gt: int = 50         # the same acceptance power in one pass)
+    attempts: int = 6            # parallel proposals per companion; the host
+    num_keypoints: int = 9       # tries max_attempts (30) sequentially, so
+    max_num_gt: int = 50         # low-acceptance slots drop more often here
+                                 # (documented divergence; raise to trade
+                                 # throughput for parity)
     propose_scale: int = 1       # mask-overlap test resolution divisor: 1 =
                                  # the host's full-res ratio exactly; 4 (the
                                  # from_config default) estimates it on a
@@ -86,6 +103,10 @@ class DeviceSynthStatic:
     @classmethod
     def from_config(cls, cfg: SynthConfig, attempts: int = 6,
                     propose_scale: int = 4) -> "DeviceSynthStatic":
+        if cfg.flip != "off":
+            raise ValueError(
+                f"device_synth implements flip='off' only (got "
+                f"{cfg.flip!r}); use the host backend for flip='reference'")
         return cls(jitter=cfg.jitter, shift=cfg.shift,
                    pixel_threshold=cfg.pixel_threshold / 255.0,
                    max_intersection=cfg.max_intersection,
@@ -99,7 +120,9 @@ class DeviceSceneBank(NamedTuple):
     A pytree of arrays (device-placed via :meth:`device_put`):
       images  (N, H, W, 3) u8   masks (N, H, W) u8   labels (N, 2K+3) f32
       obj_start/obj_count (13,) i32 — per-class contiguous frame ranges
-      companions (13, 8) i32    — ADD_OBJS as class ids, −1 padded
+      companions (14, 8) i32    — ADD_OBJS as class ids, −1 padded; row 13
+                                  is an all-−1 sentinel for base frames
+                                  outside the OCCLUSION class set
       bgs (NB, H, W, 3) u8      — pre-resized backgrounds (≥1 row; zeros
                                   when no backgrounds were given)
       base_index/base_class (len(ds),) i32 — dataset line → bank row/class
@@ -122,7 +145,9 @@ class DeviceSceneBank(NamedTuple):
         return jax.tree.map(lambda a: jax.device_put(a, device), self)
 
     def nbytes(self) -> int:
-        return sum(np.asarray(a).nbytes for a in
+        # .nbytes is metadata on numpy and jax arrays alike — never pull
+        # the (multi-GB, device-resident) buffers back to host for a size
+        return sum(a.nbytes for a in
                    (self.images, self.masks, self.labels, self.bgs))
 
 
@@ -148,7 +173,7 @@ def build_scene_bank(cfg: SynthConfig, base_paths: Sequence[str],
                      bg_paths: Sequence[str] = (), *,
                      decode=None,
                      max_frames_per_obj: Optional[int] = None,
-                     max_backgrounds: int = 64) -> DeviceSceneBank:
+                     max_backgrounds: int = 256) -> DeviceSceneBank:
     """Decode the corpus once on host and assemble the bank (numpy; call
     ``.device_put()`` to park it in HBM).
 
@@ -217,7 +242,11 @@ def build_scene_bank(cfg: SynthConfig, base_paths: Sequence[str],
         raise ValueError("empty scene bank: no train frames found")
     H, W = shape[:2]
 
-    comp = np.full((len(OCCLUSION_CLASSES), _MAX_COMPANIONS), -1, np.int32)
+    # one sentinel row of −1s at the end: base frames whose directory is not
+    # an OCCLUSION class get NO companions (the host synthesizer's
+    # ADD_OBJS.get(obj, ()) behavior), not ape's list
+    comp = np.full((len(OCCLUSION_CLASSES) + 1, _MAX_COMPANIONS), -1,
+                   np.int32)
     cls_of = {o: i for i, o in enumerate(OCCLUSION_CLASSES)}
     for obj, names in ADD_OBJS.items():
         for j, n in enumerate(names):
@@ -229,11 +258,18 @@ def build_scene_bank(cfg: SynthConfig, base_paths: Sequence[str],
     base_class = np.zeros(len(base_paths), np.int32)
     for i, p in enumerate(base_paths):
         obj = os.path.basename(os.path.dirname(os.path.dirname(p)))
-        base_class[i] = cls_of.get(obj, 0)
+        base_class[i] = cls_of.get(obj, len(OCCLUSION_CLASSES))
 
     if bg_paths:
-        sel = list(bg_paths)[:max_backgrounds]
-        bgs = np.stack([_resize_nearest_np(
+        # seeded random SAMPLE (not first-N): the host path draws from the
+        # full background set per scene (~17k VOC images); the bank holds a
+        # representative subset (~0.9 MB/background in HBM)
+        sel = list(bg_paths)
+        if len(sel) > max_backgrounds:
+            pick = np.random.RandomState(0).choice(
+                len(sel), max_backgrounds, replace=False)
+            sel = [sel[i] for i in sorted(pick)]
+        bgs = np.stack([resize_nearest(
             np.asarray(decode(p), np.uint8), W, H) for p in sel])
     else:
         bgs = np.zeros((1, H, W, 3), np.uint8)
@@ -241,14 +277,6 @@ def build_scene_bank(cfg: SynthConfig, base_paths: Sequence[str],
     return DeviceSceneBank(
         np.stack(imgs), np.stack(msks), np.stack(rows, 0).astype(np.float32),
         obj_start, obj_count, comp, bgs, base_index, base_class)
-
-
-def _resize_nearest_np(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
-    """Center-sample nearest resize (same rule as ``augment.resize_nearest``)."""
-    h, w = img.shape[:2]
-    ys = np.floor((np.arange(out_h) + 0.5) * h / out_h).astype(int)
-    xs = np.floor((np.arange(out_w) + 0.5) * w / out_w).astype(int)
-    return img[np.clip(ys, 0, h - 1)][:, np.clip(xs, 0, w - 1)]
 
 
 # ---------------------------------------------------------------------------
@@ -319,9 +347,15 @@ def _transform_row(row, dx, dy, sxr, syr, K: int):
                      jnp.zeros(nl, row.dtype))
 
 
-def _synthesize_one(bank: DeviceSceneBank, base_i, key, *,
+def _synthesize_one(bank: DeviceSceneBank, base_i, base_cls, key, *,
                     out_w: int, out_h: int, st: DeviceSynthStatic):
-    """One composite scene + (max_num_gt, nl) labels, pure device fn."""
+    """One composite scene + (max_num_gt, nl) labels, pure device fn.
+
+    ``base_i`` is a BANK ROW; ``base_cls`` the base frame's class id (row
+    into ``bank.companions`` — the two live in different index spaces:
+    ``bank.base_class`` is dataset-line-indexed, so the caller must gather
+    it with the dataset index, not the bank row).
+    """
     H, W = bank.frame_shape
     K, nl = st.num_keypoints, 2 * st.num_keypoints + 3
     thr = st.pixel_threshold
@@ -354,7 +388,7 @@ def _synthesize_one(bank: DeviceSceneBank, base_i, key, *,
     count = jnp.asarray(1, jnp.int32)
 
     # ---- companions: propose-A placements, take the first acceptable ------
-    comp = bank.companions[bank.base_class[base_i]]          # (8,) class ids
+    comp = bank.companions[base_cls]                         # (8,) class ids
     comp = jnp.take(comp, jax.random.permutation(kperm, _MAX_COMPANIONS))
 
     def propose_masks(cls, key):
@@ -380,7 +414,7 @@ def _synthesize_one(bank: DeviceSceneBank, base_i, key, *,
         return jax.vmap(one)(ks)
 
     def body(carry, slot_in):
-        canvas, total_mask, labels, count, key = carry
+        canvas, total_mask, labels, count = carry
         cls, kslot = slot_in
         fis, params, mrs = propose_masks(cls, kslot)   # (A,),(A,4),(A,h/ps,w/ps,1)
         # overlap ratio on the coarse grid (exact when propose_scale == 1):
@@ -420,11 +454,11 @@ def _synthesize_one(bank: DeviceSceneBank, base_i, key, *,
         slot = jnp.minimum(count, st.max_num_gt - 1)
         labels = labels.at[slot].set(jnp.where(write, row, labels[slot]))
         count = count + write.astype(jnp.int32)
-        return (canvas, total_mask, labels, count, key), None
+        return (canvas, total_mask, labels, count), None
 
     slot_keys = jax.random.split(kscan, _MAX_COMPANIONS)
-    (canvas, total_mask, labels, count, _), _ = jax.lax.scan(
-        body, (canvas, total_mask, labels, count, kscan), (comp, slot_keys))
+    (canvas, total_mask, labels, count), _ = jax.lax.scan(
+        body, (canvas, total_mask, labels, count), (comp, slot_keys))
 
     # ---- base re-pasted last, background behind everything ----------------
     canvas = base_masked * mask_s + canvas * (1.0 - mask_s)
@@ -449,6 +483,8 @@ def synthesize_batch(bank: DeviceSceneBank, base_idx: jax.Array,
              labels (B, max_num_gt·(2K+3)) f32).
     """
     rows = jnp.take(bank.base_index, base_idx)
+    cls = jnp.take(bank.base_class, base_idx)
     keys = jax.random.split(key, base_idx.shape[0])
     return jax.vmap(functools.partial(
-        _synthesize_one, bank, out_w=out_w, out_h=out_h, st=st))(rows, keys)
+        _synthesize_one, bank, out_w=out_w, out_h=out_h, st=st))(
+            rows, cls, keys)

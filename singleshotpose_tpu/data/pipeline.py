@@ -324,6 +324,10 @@ class Loader:
                     "MultiObjectSynthesizer (its SynthConfig seeds the bank)")
             self._device_synth = True
             self._synth_bank = None
+            # synthesis is one jitted device call — no host worker threads
+            if self.pool is not None:
+                self.pool.shutdown(wait=False)
+                self.pool = None
             # optional ("data","model") mesh: the bank replicates, batch
             # indices shard over "data", and GSPMD partitions the scene
             # synthesis across chips — the data pipeline itself is SPMD

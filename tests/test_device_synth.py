@@ -106,6 +106,27 @@ def test_base_always_on_top(hand_bank):
     np.testing.assert_allclose(img[:, 12:18], 100 / 255.0, atol=1e-6)
 
 
+def test_base_class_indexed_by_dataset_line(hand_bank):
+    """``base_index`` and ``base_class`` are DATASET-LINE-indexed; the
+    companion row must come from the line's class, not the bank row's.
+
+    Dataset line 0 → bank row 2 (class 2, NO companions).  A bank-row
+    lookup would clamp into ``base_class[0]`` = class 0 and paste class
+    0's companions — the scene must stay base-only instead."""
+    bank = hand_bank._replace(base_index=np.array([2], np.int32),
+                              base_class=np.array([2], np.int32))
+    st = DeviceSynthStatic(jitter=0.0, shift=0, attempts=3)
+    imgs, labels = synthesize_batch(bank, np.array([0], np.int32),
+                                    jax.random.PRNGKey(2), out_w=32,
+                                    out_h=32, st=st)
+    img = np.asarray(imgs)[0]
+    lab = np.asarray(labels).reshape(50, NL)
+    assert int((lab[:, 1] != 0).argmin()) == 1       # base only, no pastes
+    assert int(lab[0, 0]) == 2
+    np.testing.assert_allclose(img[:, 20:32], 100 / 255.0, atol=1e-6)
+    np.testing.assert_allclose(img[:, 0:20], 30 / 255.0, atol=1e-6)
+
+
 def test_unplaceable_when_all_proposals_collide(hand_bank):
     """Only the fully-overlapping companion available → scene stays base-only
     (the host path's attempt-capped drop, synth_multi.py:283)."""
@@ -178,6 +199,8 @@ def test_bank_from_linemod_tree(fake_linemod, small_companions, tmp_path):
     assert counts[[0, 3, 4]].tolist() == [3, 3, 3]   # ape/can/cat classes
     assert counts.sum() == 9
     assert np.asarray(bank.base_class).tolist() == [0, 0]
+    # 13 class rows + the all-−1 sentinel for out-of-class base frames
+    assert bank.companions.shape == (14, 8)
 
     st = DeviceSynthStatic.from_config(cfg)
     imgs, labels = synthesize_batch(bank, np.arange(2, dtype=np.int32),
