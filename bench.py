@@ -22,6 +22,8 @@ numbers (BASELINE.md).
 import argparse
 import json
 import os
+import subprocess
+import sys
 import time
 from functools import partial
 
@@ -230,19 +232,11 @@ def bench_train_step(batch: int = TRAIN_BATCH, chain: int = TRAIN_CHAIN):
     return step_ms, batch * chain / dt
 
 
-def bench_synth_scenes(batch: int = 32, iters: int = 12):
-    """On-device multi-object scene synthesis throughput (scenes/s).
-
-    Fabricates a LINEMOD-scale frame bank in memory (13 objects × 30 frames
-    at 640×480 — compute cost per scene is bank-size independent) and times
-    ``data/device_synth._synthesize_one`` vmapped over a batch at 416²,
-    chained on-device (iteration i+1's indices consume iteration i's pixels
-    so nothing hoists).  Replaces the host path's per-scene decode+paste loop
-    (reference ``image_multi.py:299-383``).
-    """
-    from singleshotpose_tpu.data.device_synth import (DeviceSceneBank,
-                                                      DeviceSynthStatic,
-                                                      _synthesize_one)
+def _fake_scene_bank():
+    """A LINEMOD-scale in-memory frame bank (13 objects × 30 frames at
+    640×480 — synthesis compute per scene is bank-size independent).
+    Returns (device-placed DeviceSceneBank, total frames N)."""
+    from singleshotpose_tpu.data.device_synth import DeviceSceneBank
     from singleshotpose_tpu.data.synth_multi import (ADD_OBJS,
                                                      OCCLUSION_CLASSES)
 
@@ -259,7 +253,7 @@ def bench_synth_scenes(batch: int = 32, iters: int = 12):
     labels[:, 1:19:2] = rng.uniform(0.3, 0.7, (N, 9))
     labels[:, 2:19:2] = rng.uniform(0.3, 0.7, (N, 9))
     labels[:, 19:21] = 0.2
-    comp = np.full((13, 8), -1, np.int32)
+    comp = np.full((14, 8), -1, np.int32)
     cls_of = {o: i for i, o in enumerate(OCCLUSION_CLASSES)}
     for obj, names in ADD_OBJS.items():
         for j, nme in enumerate(names):
@@ -270,6 +264,22 @@ def bench_synth_scenes(batch: int = 32, iters: int = 12):
         rng.randint(0, 255, (16, 480, 640, 3), np.uint8),
         np.arange(N, dtype=np.int32),
         labels[:, 0].astype(np.int32)).device_put()
+    return bank, N
+
+
+def bench_synth_scenes(batch: int = 32, iters: int = 12):
+    """On-device multi-object scene synthesis throughput (scenes/s).
+
+    Times ``data/device_synth._synthesize_one`` vmapped over a batch at 416²
+    on a fabricated LINEMOD-scale bank, chained on-device (iteration i+1's
+    indices consume iteration i's pixels so nothing hoists).  Replaces the
+    host path's per-scene decode+paste loop (reference
+    ``image_multi.py:299-383``).
+    """
+    from singleshotpose_tpu.data.device_synth import (DeviceSynthStatic,
+                                                      _synthesize_one)
+
+    bank, N = _fake_scene_bank()
     st = DeviceSynthStatic(propose_scale=4)
 
     @partial(jax.jit, static_argnames=("iters",))
@@ -278,8 +288,9 @@ def bench_synth_scenes(batch: int = 32, iters: int = 12):
             idxs, acc = carry
             keys = jax.random.split(jax.random.fold_in(key, i), batch)
             rows = jnp.take(bank.base_index, idxs)
+            cls = jnp.take(bank.base_class, idxs)
             out, _lab = jax.vmap(partial(_synthesize_one, bank, out_w=SIZE,
-                                         out_h=SIZE, st=st))(rows, keys)
+                                         out_h=SIZE, st=st))(rows, cls, keys)
             idxs = (idxs + 1 + (out[0, 0, 0, 0] * 0).astype(jnp.int32)) % N
             return idxs, acc + out.mean()
         _, acc = jax.lax.fori_loop(
@@ -291,6 +302,62 @@ def bench_synth_scenes(batch: int = 32, iters: int = 12):
     float(chained(bank, base0, key, iters))          # compile + warm
     t0 = time.perf_counter()
     float(chained(bank, base0, key, iters))
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
+def bench_train_multi_e2e(batch: int = 32, iters: int = 8):
+    """Multi-object (OCCLUSION) training END TO END with on-device scene
+    synthesis: each chained iteration synthesizes its batch from the HBM
+    frame bank and feeds the fused multi train step — zero host↔device image
+    traffic, the host only dispatches.
+
+    Synthesis shares the chip with the train step, so it costs chip time
+    (not hidden): e2e ≈ 1/(1/synth_sps + 1/step_sps).  The measure that
+    matters is vs the host path, where python scene synthesis caps the whole
+    loop at ~15 scenes/s on a 1-core host (reference hot loop:
+    ``train_multi.py:76-129`` + ``image_multi.py:299-383`` in workers).
+    """
+    from singleshotpose_tpu.data.device_synth import (DeviceSynthStatic,
+                                                      _synthesize_one)
+    from singleshotpose_tpu.drivers import loss_config_from_spec
+    from singleshotpose_tpu.training import init_train_state, make_train_step
+    from singleshotpose_tpu.zoo import yolo_pose_multi
+
+    bank, N = _fake_scene_bank()
+    st = DeviceSynthStatic(propose_scale=4)
+    net = yolo_pose_multi()
+    state = init_train_state(*net.init_params(jax.random.PRNGKey(0)))
+    loss_cfg = loss_config_from_spec(net, pretrain_num_epochs=0,
+                                     im_width=640, im_height=480, multi=True)
+    raw_step = make_train_step(net, loss_cfg, weight_decay=0.0005 * batch,
+                               momentum=0.9, compute_dtype=jnp.bfloat16,
+                               donate=False, jit_compile=False,
+                               fused_stem=jax.default_backend() == "tpu")
+
+    @partial(jax.jit, static_argnames=("iters",), donate_argnums=(0,))
+    def chained(state, bank, key, iters):
+        def body(i, carry):
+            state, idx = carry
+            keys = jax.random.split(jax.random.fold_in(key, i), batch)
+            rows = jnp.take(bank.base_index, idx)
+            cls = jnp.take(bank.base_class, idx)
+            imgs, labels = jax.vmap(partial(
+                _synthesize_one, bank, out_w=SIZE, out_h=SIZE, st=st))(
+                    rows, cls, keys)
+            state, _stats = raw_step(state, imgs, labels,
+                                     jnp.float32(0.001 / batch), 100)
+            return state, (idx + batch) % N
+        state, _ = jax.lax.fori_loop(
+            0, iters, body, (state, jnp.arange(batch, dtype=jnp.int32)))
+        return state
+
+    key = jax.random.PRNGKey(0)
+    state = chained(state, bank, key, iters)         # compile + warm
+    int(jax.device_get(state.seen))
+    t0 = time.perf_counter()
+    state = chained(state, bank, key, iters)
+    int(jax.device_get(state.seen))
     dt = time.perf_counter() - t0
     return batch * iters / dt
 
@@ -436,10 +503,31 @@ def bench_eval_e2e():
     return fps
 
 
+def _synth_group_in_subprocess():
+    """Run the scene-synthesis benches in a FRESH process (own TPU client).
+
+    Measured failure mode this guards against: after the b128 inference and
+    train-step benches, the parent's HBM is fragmented enough that the synth
+    bank + program peak crashes the TPU worker through the axon plugin
+    (observed as ``UNAVAILABLE: TPU worker process crashed``), killing every
+    later bench in the process.  A child process starts with clean HBM; the
+    persistent compilation cache keeps the re-compile cost near zero.
+    """
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--only", "synth"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)))
+    for line in reversed(proc.stdout.splitlines()):
+        if line.startswith("{"):
+            return json.loads(line)["extra"]
+    raise RuntimeError(f"synth bench subprocess failed rc={proc.returncode}")
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--only", choices=["infer", "train", "eval"], default=None,
-                    help="run a single benchmark (default: all)")
+    ap.add_argument("--only", choices=["infer", "train", "synth", "eval"],
+                    default=None, help="run a single group (default: all; "
+                    "'synth' runs in a subprocess from the default run)")
     args = ap.parse_args()
 
     extra = {}
@@ -456,15 +544,20 @@ def main():
         _, tps128 = bench_train_step(batch=128, chain=8)
         extra["train_sps_b128"] = round(tps128, 1)
         try:
-            extra["synth_scenes_per_sec"] = round(bench_synth_scenes(), 1)
-        except Exception as e:        # degrade gracefully: a synth-bench
-            extra["synth_scenes_per_sec"] = None   # failure (e.g. HBM
-            print(f"# synth bench failed: {e!r}")   # pressure) must not
-                                                    # lose the other metrics
-        try:
             extra["train_e2e_sps"] = round(bench_train_e2e(), 1)
         except (RuntimeError, OSError):
             extra["train_e2e_sps"] = None   # native loader unavailable
+    if args.only == "synth":
+        extra["synth_scenes_per_sec"] = round(bench_synth_scenes(), 1)
+        extra["train_multi_e2e_sps"] = round(bench_train_multi_e2e(), 1)
+    elif args.only is None:
+        try:
+            merged = _synth_group_in_subprocess()
+        except Exception as e:        # degrade gracefully: a synth-group
+            merged = {"synth_scenes_per_sec": None,    # failure must not
+                      "train_multi_e2e_sps": None}     # lose other metrics
+            print(f"# synth bench group failed: {e!r}")
+        extra.update(merged)
     if args.only in (None, "eval"):
         eval_fps = bench_eval_e2e()
         extra["eval_e2e_fps"] = round(eval_fps["rgb"], 1) \

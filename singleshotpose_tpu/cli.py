@@ -53,10 +53,11 @@ def _add_train_run_flags(p: argparse.ArgumentParser) -> None:
                    help="RAM-cache decoded images across epochs")
     p.add_argument("--loader_backend", type=str, default="auto",
                    choices=["auto", "python", "native", "device",
-                            "device_synth"],
-                   help="train: auto/python/native/device; train-multi: "
-                        "auto/python (host synthesis) or device_synth "
-                        "(HBM-resident frame bank, scenes composited on TPU)")
+                            "device_bank", "device_synth"],
+                   help="train: auto/python/native/device/device_bank "
+                        "(HBM-resident frame bank, augmented on TPU); "
+                        "train-multi: auto/python (host synthesis) or "
+                        "device_synth (HBM bank, scenes composited on TPU)")
     p.add_argument("--precompile_buckets", action="store_true",
                    help="compile every multi-scale bucket before epoch 0 "
                         "(no mid-epoch XLA compile stalls)")

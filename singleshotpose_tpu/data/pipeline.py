@@ -304,6 +304,7 @@ class Loader:
         self._native = None
         self._device = backend == "device"
         self._device_synth = False
+        self._device_bank = False
         if backend in ("auto", "native") and dataset.synthesizer is None:
             try:
                 from ..native import NativeLoader
@@ -332,6 +333,22 @@ class Loader:
             # indices shard over "data", and GSPMD partitions the scene
             # synthesis across chips — the data pipeline itself is SPMD
             self._synth_mesh = mesh
+        elif backend == "device_bank":
+            # single-object analogue of device_synth: the train corpus is
+            # decoded ONCE into an HBM-resident DeviceFrameBank and every
+            # batch is one jitted gather→crop→composite→HSV program
+            # (data/device_bank.py) — zero per-batch host image traffic
+            if dataset.synthesizer is not None:
+                raise ValueError("device_bank does not cover the "
+                                 "scene-synthesis path; use device_synth")
+            if not dataset.train:
+                raise ValueError("device_bank is a train-mode backend")
+            self._device_bank = True
+            self._frame_bank = None
+            if self.pool is not None:       # batches are one device call
+                self.pool.shutdown(wait=False)
+                self.pool = None
+            self._bank_mesh = mesh
         elif self._device:
             if dataset.synthesizer is not None:
                 raise ValueError("device backend does not cover the "
@@ -368,6 +385,10 @@ class Loader:
 
             if self._device_synth:
                 yield self._device_synth_batch(idxs, shape)
+                continue
+
+            if self._device_bank:
+                yield self._device_bank_batch(idxs, shape)
                 continue
 
             if self._device and self.ds.train:
@@ -441,6 +462,68 @@ class Loader:
             self._synth_bank, base_idx, key,
             out_w=w, out_h=h, st=self._synth_static)
         self.seen += len(idxs)
+        return imgs, labels
+
+    def _device_bank_batch(self, idxs, shape):
+        """One single-object train batch from the HBM frame bank.
+
+        First call decodes the corpus into a device-resident
+        ``DeviceFrameBank`` (``data/device_bank.py``); afterwards each batch
+        is one jitted program of (bank, indices, host-drawn params).  The
+        rng stream matches the ``device`` backend draw-for-draw (bg picks
+        then ``draw_params``), so given equal seeds the two backends yield
+        bit-identical images.  Yields device arrays (images f32, labels f32).
+        """
+        import jax
+
+        from . import device_augment as DA
+        from . import device_bank as DB
+
+        if self._frame_bank is None:
+            decode = None
+            try:
+                from ..native import NativeLoader
+                decode = NativeLoader(nthreads=0).decode
+            except (RuntimeError, OSError, ImportError):
+                pass
+            t0 = time.time()
+            bank = DB.build_frame_bank(self.ds, decode=decode)
+            if self._bank_mesh is not None:
+                from ..parallel.sharding import replicated
+                bank = bank.device_put(replicated(self._bank_mesh))
+            else:
+                bank = bank.device_put()
+            self._frame_bank = bank
+            print(f"device_bank: {bank.images.shape[0]} frames, "
+                  f"{bank.nbytes() / 1e6:.0f} MB in HBM "
+                  f"({time.time() - t0:.1f}s to build)")
+        bank = self._frame_bank
+        w, h = shape
+        B = len(idxs)
+        ih, iw = bank.frame_shape
+        if self.ds.bg_file_names:
+            # same stream as _device_batch: one scalar draw per sample over
+            # the FULL bg list, folded onto the bank's sampled rows
+            bg_idxs = np.array([
+                self.rng.randint(len(self.ds.bg_file_names))
+                for _ in range(B)], np.int32) % bank.bgs.shape[0]
+        else:
+            bg_idxs = np.zeros(B, np.int32)
+        params, _lab = DA.draw_params(
+            self.rng, B, iw, ih, jitter=self.ds.aug.jitter,
+            hue=self.ds.aug.hue, saturation=self.ds.aug.saturation,
+            exposure=self.ds.aug.exposure)
+        rows = np.asarray(idxs, np.int32)
+        if self._bank_mesh is not None:
+            from ..parallel.sharding import batch_sharding
+            sh1 = batch_sharding(self._bank_mesh, 1)
+            rows = jax.device_put(rows, sh1)
+            bg_idxs = jax.device_put(bg_idxs, sh1)
+            params = jax.tree.map(lambda a: jax.device_put(a, sh1), params)
+        imgs, labels = DB.augment_bank_batch(
+            bank, rows, bg_idxs, params, out_w=w, out_h=h,
+            K=self.ds.num_keypoints)
+        self.seen += B
         return imgs, labels
 
     def _device_batch(self, idxs, shape):

@@ -522,7 +522,8 @@ class TrainRunConfig:
     profile_dir: Optional[str] = None  # jax.profiler trace of a few steps
     profile_steps: Tuple[int, int] = (5, 10)
     cache_decoded: bool = False        # RAM-cache decoded images across epochs
-    loader_backend: str = "auto"       # auto | python | native | device
+    loader_backend: str = "auto"  # auto|python|native|device|device_bank
+    #                               (multi: auto|python|device_synth)
     precompile_buckets: bool = False   # pre-pay multi-scale XLA compiles
     # None → auto: fused Pallas stem (ops/stem.py) on an unsharded TPU
     # backend with bf16 compute (batch-8 train step 14.9 → 10.9 ms on v5e).
@@ -627,15 +628,22 @@ def run_training(datacfg: str, modelcfg: Union[str, DarknetSpec],
                      cache_decoded=rc.cache_decoded)
     loader_batch, seen0 = _multihost_local_shard(ds, batch_size, seen0,
                                                  rc.mesh)
+    on_device = rc.loader_backend in ("device", "device_bank")
+    if rc.loader_backend == "device_bank" and jax.process_count() > 1:
+        raise ValueError(
+            "device_bank is single-process (the global-batch assembly path "
+            "expects host arrays); use the native/host loader under "
+            "multi-host")
     loader = Loader(ds, loader_batch, schedule=SINGLE_SCHEDULE,
                     seen=seen0, num_workers=rc.num_workers, seed=rc.seed,
-                    backend=rc.loader_backend,
-                    out_uint8=rc.loader_backend != "device")
+                    backend=rc.loader_backend, out_uint8=not on_device,
+                    mesh=rc.mesh
+                    if rc.loader_backend == "device_bank" else None)
     if rc.precompile_buckets:
         _precompile_buckets(step, state, SINGLE_SCHEDULE.all_widths,
                             loader_batch, 50 * (2 * spec.num_keypoints + 3),
-                            rc, image_dtype=np.uint8
-                            if rc.loader_backend != "device" else np.float32)
+                            rc, image_dtype=np.float32
+                            if on_device else np.uint8)
 
     history: Dict[str, List] = {"training_iters": [], "training_losses": [],
                                 "testing_iters": [], "testing_accuracies": [],
@@ -916,7 +924,7 @@ def run_training_multi(datacfg: str, modelcfg: Union[str, DarknetSpec],
     loader_batch, seen0 = _multihost_local_shard(ds, batch_size, seen0,
                                                  rc.mesh)
     multi_backend = rc.loader_backend
-    if multi_backend in ("native", "device"):
+    if multi_backend in ("native", "device", "device_bank"):
         raise ValueError(
             f"loader_backend={multi_backend!r} does not cover the "
             "scene-synthesis path; use 'python' (host synth, default) or "
