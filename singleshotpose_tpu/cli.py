@@ -4,6 +4,7 @@
   python -m singleshotpose_tpu.cli valid       --datacfg --modelcfg --weightfile [--quantize [Q.npz]] [--dp N]
   python -m singleshotpose_tpu.cli valid-multi --modelcfg --weightfile [--datacfgs ...]
   python -m singleshotpose_tpu.cli quantize    --datacfg --modelcfg --weightfile --out Q.npz
+  python -m singleshotpose_tpu.cli export      --modelcfg --weightfile|--quantized --out M.sspx
   python -m singleshotpose_tpu.cli print-cfg   <cfgfile>
 
 Flags match ``train.py:276-281``, ``valid.py:238-242``,
@@ -276,12 +277,19 @@ def cmd_print_cfg(argv: Sequence[str]) -> int:
     return 0
 
 
+def cmd_export(argv: Sequence[str]) -> int:
+    """Freeze a trained net into a portable StableHLO serving artifact."""
+    from .serving import cmd_export as run
+    return run(argv)
+
+
 COMMANDS = {
     "train": cmd_train,
     "train-multi": cmd_train_multi,
     "valid": cmd_valid,
     "valid-multi": cmd_valid_multi,
     "quantize": cmd_quantize,
+    "export": cmd_export,
     "print-cfg": cmd_print_cfg,
 }
 

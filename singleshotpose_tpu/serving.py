@@ -1,0 +1,240 @@
+"""Deployable serving artifacts: freeze a trained net into one portable file.
+
+The reference has **no serving layer**: deploying it means shipping the whole
+PyTorch training stack and re-tracing ``Darknet(cfgfile)`` + the python
+decode loop on every process start (reference ``valid.py:36-57`` builds the
+model from cfg + weights before it can serve a single frame).  On TPU the
+right deployment unit is the compiled program, so this module exports the
+*serving function* — folded-BN bf16 (or int8-PTQ) forward + grid decode +
+box pick, the same fused executable the eval driver runs — with
+:mod:`jax.export` into a single StableHLO artifact:
+
+  * **self-contained** — the weights are baked in as constants; loading it
+    needs jax only, not this package, not the cfg file, not the weights file;
+  * **portable** — serialized StableHLO with jax's compatibility guarantees
+    (forward/backward windows), optionally lowered for several platforms
+    (``platforms=("tpu", "cpu")``) so one artifact serves on TPU and smoke-
+    tests on CPU;
+  * **batch-polymorphic** (opt-in) — exported with a symbolic batch dim so
+    one artifact serves any batch size without retracing.
+
+``aot_serving`` is the in-process variant: ahead-of-time compile the serving
+executable (``jit(fn).lower(args).compile()``) so the first request pays
+zero compile latency (with ``jax_compilation_cache_dir`` set, even the AOT
+compile is a disk hit after the first process).
+
+CLI: ``ssp export --modelcfg ... --weightfile ... --out model.sspx``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import export as jax_export
+
+from .models.darknet import DarknetSpec
+from .ops.decode import (best_box_for_class, best_boxes, best_boxes_per_class,
+                         decode_grid)
+
+__all__ = ["make_serving_fn", "export_serving", "save_exported",
+           "load_serving", "aot_serving"]
+
+# (pick-mode, extras) accepted by make_serving_fn / the eval driver alike:
+#   None / ("grid",)            → decoded grid (B, nA·H·W, 2K+3+C)-ish pytree
+#   ("best",)                   → (B, 2K+3) best box per image
+#   ("per_class", conf)         → (B, C, 2K+3) per-class best with fallback
+#   ("for_class", cls, conf)    → (B, 2K+3) best box of one class
+Pick = Optional[Tuple]
+
+
+def _is_quantized(params) -> bool:
+    return any(isinstance(v, dict) and "wq" in v for v in params.values())
+
+
+def make_serving_fn(spec: DarknetSpec, params, *, pick: Pick = None,
+                    compute_dtype=jnp.bfloat16):
+    """The serving function ``images -> boxes`` with the weights closed over.
+
+    ``params`` is either a folded-BN pytree (:func:`fold_batchnorm`) or an
+    int8 pytree (:func:`models.quantize.quantize_folded` /
+    ``load_quantized``) — dispatch is by content, same rule as the eval
+    driver (``drivers._eval_forward``).  Closing over the weights is what
+    makes the exported artifact self-contained: they serialize as StableHLO
+    constants.
+
+    ``images``: NHWC, uint8 (normalized on device — the transfer-optimal
+    encoding) or float in [0, 1].
+    """
+    K, C, nA = spec.num_keypoints, spec.num_classes, spec.num_anchors
+    quantized = _is_quantized(params)
+
+    def serve(images: jax.Array):
+        if jnp.issubdtype(images.dtype, jnp.integer):
+            images = images.astype(jnp.float32) / 255.0
+        if quantized:
+            from .models.quantize import apply_quantized
+            head = apply_quantized(spec, params, images,
+                                   compute_dtype=compute_dtype)
+        else:
+            head = spec.apply_folded(params, images,
+                                     compute_dtype=compute_dtype)
+        decoded = decode_grid(head.astype(jnp.float32), K, C, nA)
+        if pick is None or pick[0] == "grid":
+            return decoded
+        if pick[0] == "best":
+            return best_boxes(decoded)
+        if pick[0] == "per_class":
+            return best_boxes_per_class(decoded, pick[1])
+        if pick[0] == "for_class":
+            return best_box_for_class(decoded, pick[1], pick[2])
+        raise ValueError(f"unknown pick {pick!r}")
+
+    return serve
+
+
+def export_serving(spec: DarknetSpec, params, *, width: int, height: int,
+                   batch: Optional[int] = None, pick: Pick = ("best",),
+                   compute_dtype=jnp.bfloat16, input_dtype=jnp.uint8,
+                   platforms: Optional[Sequence[str]] = None
+                   ) -> jax_export.Exported:
+    """Export the serving function to a portable StableHLO artifact.
+
+    Args:
+      width, height: serving resolution (must be stride-divisible, like any
+        eval size).
+      batch: fixed batch size, or ``None`` for a batch-polymorphic export
+        (symbolic leading dim — one artifact, any batch size).
+      pick: box-pick fused into the artifact (see :data:`Pick`).
+      input_dtype: ``uint8`` (default; artifact normalizes internally) or a
+        float dtype taking [0, 1] inputs.
+      platforms: lowering targets, e.g. ``("tpu", "cpu")``; default is the
+        exporting backend only.
+
+    Returns a :class:`jax.export.Exported`; persist with
+    :func:`save_exported`.
+    """
+    serve = jax.jit(make_serving_fn(spec, params, pick=pick,
+                                    compute_dtype=compute_dtype))
+    if batch is None:
+        (b,) = jax_export.symbolic_shape("b")
+        shape: Tuple = (b, height, width, 3)
+    else:
+        shape = (batch, height, width, 3)
+    arg = jax.ShapeDtypeStruct(shape, input_dtype)
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = tuple(platforms)
+    return jax_export.export(serve, **kwargs)(arg)
+
+
+def save_exported(path: str, exported: jax_export.Exported) -> None:
+    """Serialize an export to one file (StableHLO + weights-as-constants)."""
+    data = exported.serialize()
+    with open(path, "wb") as f:
+        f.write(data)
+
+
+def load_serving(path: str):
+    """Load a saved artifact → a jitted callable ``images -> boxes``.
+
+    Needs only jax — no package import, cfg, or weight file.  The returned
+    callable compiles per concrete input shape (once; the persistent
+    compilation cache makes process restarts a disk hit).
+    """
+    with open(path, "rb") as f:
+        data = f.read()
+    exported = jax_export.deserialize(bytearray(data))
+    return jax.jit(exported.call)
+
+
+def aot_serving(spec: DarknetSpec, params, *, batch: int, width: int,
+                height: int, pick: Pick = ("best",),
+                compute_dtype=jnp.bfloat16, input_dtype=jnp.uint8):
+    """Ahead-of-time compile the serving executable for one static shape.
+
+    Returns a ``jax.stages.Compiled``: calling it never traces or compiles —
+    the first request runs at steady-state latency.  Combine with
+    ``jax.config.update("jax_compilation_cache_dir", ...)`` to make even
+    this compile a one-time cost per machine.
+    """
+    serve = jax.jit(make_serving_fn(spec, params, pick=pick,
+                                    compute_dtype=compute_dtype))
+    arg = jax.ShapeDtypeStruct((batch, height, width, 3), input_dtype)
+    return serve.lower(arg).compile()
+
+
+def _parse_pick(pick: str, conf_thresh: float, cls: int) -> Pick:
+    if pick == "grid":
+        return None
+    if pick == "best":
+        return ("best",)
+    if pick == "per_class":
+        return ("per_class", conf_thresh)
+    if pick == "for_class":
+        return ("for_class", cls, conf_thresh)
+    raise ValueError(f"unknown pick {pick!r}")
+
+
+def cmd_export(argv: Sequence[str]) -> int:
+    """``ssp export``: darknet weights (or int8 .npz) → one serving file."""
+    import argparse
+
+    p = argparse.ArgumentParser(
+        prog="ssp export",
+        description="freeze a trained net into a portable StableHLO serving "
+                    "artifact (weights baked in; loads with jax alone)")
+    p.add_argument("--modelcfg", type=str, default="cfg/yolo-pose.cfg")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--weightfile", type=str,
+                     help="darknet .weights (BN folded at export)")
+    src.add_argument("--quantized", type=str,
+                     help="int8 .npz from `ssp quantize` (int8 serving)")
+    p.add_argument("--out", type=str, required=True)
+    p.add_argument("--width", type=int, default=544)
+    p.add_argument("--height", type=int, default=544)
+    p.add_argument("--batch", type=int, default=None,
+                   help="fixed batch (default: batch-polymorphic export)")
+    p.add_argument("--pick", type=str, default="best",
+                   choices=["grid", "best", "per_class", "for_class"])
+    p.add_argument("--conf_thresh", type=float, default=0.1)
+    p.add_argument("--cls", type=int, default=0,
+                   help="class id for --pick for_class")
+    p.add_argument("--compute", type=str, default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--float_input", action="store_true",
+                   help="take float [0,1] inputs instead of uint8")
+    p.add_argument("--platforms", type=str, default=None,
+                   help="comma list, e.g. tpu,cpu (default: this backend)")
+    args = p.parse_args(argv)
+
+    from .cli import _resolve_model
+    from .drivers import load_spec
+    spec = load_spec(_resolve_model(args.modelcfg))
+    if args.quantized:
+        from .models.quantize import load_quantized
+        params = jax.device_put(load_quantized(args.quantized))
+    else:
+        from . import weights as W
+        from .models.darknet import fold_batchnorm
+        _, pr, bs = W.load_weights(spec, args.weightfile)
+        params = fold_batchnorm(spec, pr, bs)
+
+    exported = export_serving(
+        spec, params, width=args.width, height=args.height, batch=args.batch,
+        pick=_parse_pick(args.pick, args.conf_thresh, args.cls),
+        compute_dtype=jnp.bfloat16 if args.compute == "bfloat16"
+        else jnp.float32,
+        input_dtype=jnp.float32 if args.float_input else jnp.uint8,
+        platforms=args.platforms.split(",") if args.platforms else None)
+    save_exported(args.out, exported)
+    size_mb = os.path.getsize(args.out) / 1e6
+    kind = "int8" if args.quantized else "bf16-folded"
+    bstr = "poly" if args.batch is None else str(args.batch)
+    print(f"exported {kind} serving fn ({args.width}x{args.height}, "
+          f"batch={bstr}, pick={args.pick}, "
+          f"platforms={list(exported.platforms)}) -> {args.out} "
+          f"({size_mb:.1f} MB)")
+    return 0
