@@ -192,6 +192,11 @@ def cmd_export(argv: Sequence[str]) -> int:
                      help="darknet .weights (BN folded at export)")
     src.add_argument("--quantized", type=str,
                      help="int8 .npz from `ssp quantize` (int8 serving)")
+    src.add_argument("--orbax_dir", type=str,
+                     help="export from an Orbax full-state checkpoint "
+                          "(training → serving with no .weights detour)")
+    p.add_argument("--step", type=int, default=None,
+                   help="Orbax checkpoint step (default: latest)")
     p.add_argument("--out", type=str, required=True)
     p.add_argument("--width", type=int, default=544)
     p.add_argument("--height", type=int, default=544)
@@ -216,6 +221,14 @@ def cmd_export(argv: Sequence[str]) -> int:
     if args.quantized:
         from .models.quantize import load_quantized
         params = jax.device_put(load_quantized(args.quantized))
+    elif args.orbax_dir:
+        from .checkpoint import OrbaxCheckpointer
+        from .models.darknet import fold_batchnorm
+        ckpt = OrbaxCheckpointer(args.orbax_dir)
+        state, step = ckpt.restore(args.step)
+        ckpt.close()
+        print(f"exporting Orbax checkpoint step {step} from {args.orbax_dir}")
+        params = fold_batchnorm(spec, state.params, state.batch_stats)
     else:
         from . import weights as W
         from .models.darknet import fold_batchnorm

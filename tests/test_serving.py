@@ -151,6 +151,31 @@ def test_cli_export_roundtrip(tmp_path, tiny):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_cli_export_from_orbax(tmp_path, tiny):
+    """`ssp export --orbax_dir`: training checkpoint → serving artifact."""
+    from singleshotpose_tpu.checkpoint import OrbaxCheckpointer
+    from singleshotpose_tpu.cli import main
+    from singleshotpose_tpu.training import init_train_state
+
+    spec, _, imgs = tiny
+    params, bstats = spec.init_params(jax.random.PRNGKey(7))
+    state = init_train_state(params, bstats)
+    ckpt = OrbaxCheckpointer(str(tmp_path / "ckpt"))
+    ckpt.save(3, state, wait=True)
+    ckpt.close()
+    cfgfile = tmp_path / "tiny.cfg"
+    cfgfile.write_text(_blocks_to_cfg(spec.blocks))
+    out = tmp_path / "m.sspx"
+    rc = main(["export", "--modelcfg", str(cfgfile), "--orbax_dir",
+               str(tmp_path / "ckpt"), "--out", str(out), "--width", "64",
+               "--height", "64", "--batch", "2", "--compute", "float32"])
+    assert rc == 0 and out.exists()
+    got = S.load_serving(str(out))(jnp.asarray(imgs[:2]))
+    want = _direct_boxes(spec, fold_batchnorm(spec, params, bstats),
+                         imgs[:2])
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def _blocks_to_cfg(blocks):
     lines = []
     for b in blocks:
