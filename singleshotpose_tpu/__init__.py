@@ -47,6 +47,10 @@ _LAZY = {
     "make_train_step": ("singleshotpose_tpu.training", "make_train_step"),
     "init_train_state": ("singleshotpose_tpu.training", "init_train_state"),
     "make_mesh": ("singleshotpose_tpu.parallel.sharding", "make_mesh"),
+    "make_serving_fn": ("singleshotpose_tpu.serving", "make_serving_fn"),
+    "export_serving": ("singleshotpose_tpu.serving", "export_serving"),
+    "load_serving": ("singleshotpose_tpu.serving", "load_serving"),
+    "aot_serving": ("singleshotpose_tpu.serving", "aot_serving"),
 }
 
 __all__ = ["config", "__version__"] + sorted(_LAZY)
