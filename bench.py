@@ -506,21 +506,29 @@ def bench_eval_e2e():
 def _synth_group_in_subprocess():
     """Run the scene-synthesis benches in a FRESH process (own TPU client).
 
-    Measured failure mode this guards against: after the b128 inference and
-    train-step benches, the parent's HBM is fragmented enough that the synth
-    bank + program peak crashes the TPU worker through the axon plugin
-    (observed as ``UNAVAILABLE: TPU worker process crashed``), killing every
-    later bench in the process.  A child process starts with clean HBM; the
-    persistent compilation cache keeps the re-compile cost near zero.
+    Two measured failure modes this guards against: (a) after the b128
+    benches the parent's HBM is fragmented enough that the synth bank +
+    program peak crashes the TPU worker through the axon plugin
+    (``UNAVAILABLE: TPU worker process crashed``); (b) a child sharing the
+    chip with an already-live parent client intermittently dies (rc=1).
+    Hence main() runs this FIRST, before the parent initializes its own TPU
+    client; the persistent compilation cache keeps re-compiles near zero.
     """
-    proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--only", "synth"],
-        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
-        cwd=os.path.dirname(os.path.abspath(__file__)))
-    for line in reversed(proc.stdout.splitlines()):
-        if line.startswith("{"):
-            return json.loads(line)["extra"]
-    raise RuntimeError(f"synth bench subprocess failed rc={proc.returncode}")
+    last = ""
+    for attempt in range(3):
+        if attempt:
+            print(f"# synth bench retry {attempt} (worker restart): {last}")
+            time.sleep(15)          # let the crashed TPU worker come back
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--only", "synth"],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        for line in reversed(proc.stdout.splitlines()):
+            if line.startswith("{"):
+                return json.loads(line)["extra"]
+        last = (f"rc={proc.returncode}: "
+                + " | ".join(proc.stderr.splitlines()[-3:]))
+    raise RuntimeError(f"synth bench subprocess failed after retries, {last}")
 
 
 def main():
@@ -532,6 +540,18 @@ def main():
 
     extra = {}
     fps = None
+    if args.only is None:
+        # the synth group runs FIRST, in a clean child process, while this
+        # parent has not yet initialized its own TPU client: a child sharing
+        # the chip with a live parent client intermittently fails through
+        # the axon plugin (observed rc=1 mid-bench; clean-first always works)
+        try:
+            merged = _synth_group_in_subprocess()
+        except Exception as e:        # degrade gracefully: a synth-group
+            merged = {"synth_scenes_per_sec": None,    # failure must not
+                      "train_multi_e2e_sps": None}     # lose other metrics
+            print(f"# synth bench group failed: {e!r}")
+        extra.update(merged)
     if args.only in (None, "infer"):
         fps = bench_infer()
         extra["infer_fps_int8"] = round(bench_infer(quantize=True), 1)
@@ -550,14 +570,6 @@ def main():
     if args.only == "synth":
         extra["synth_scenes_per_sec"] = round(bench_synth_scenes(), 1)
         extra["train_multi_e2e_sps"] = round(bench_train_multi_e2e(), 1)
-    elif args.only is None:
-        try:
-            merged = _synth_group_in_subprocess()
-        except Exception as e:        # degrade gracefully: a synth-group
-            merged = {"synth_scenes_per_sec": None,    # failure must not
-                      "train_multi_e2e_sps": None}     # lose other metrics
-            print(f"# synth bench group failed: {e!r}")
-        extra.update(merged)
     if args.only in (None, "eval"):
         eval_fps = bench_eval_e2e()
         extra["eval_e2e_fps"] = round(eval_fps["rgb"], 1) \

@@ -62,8 +62,82 @@ def load_native() -> Optional[ctypes.CDLL]:
         lib.ssp_bg_cache_limit.restype = None
         lib.ssp_bg_cache_limit.argtypes = [ctypes.c_long]
         lib.ssp_bg_cache_clear.restype = None
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.ssp_synth_masked_resize.restype = None
+        lib.ssp_synth_masked_resize.argtypes = [
+            u8p, u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, u8p, u8p, u8p,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_long),
+            ctypes.POINTER(ctypes.c_long)]
+        lib.ssp_synth_composite.restype = None
+        lib.ssp_synth_composite.argtypes = [u8p, u8p, u8p, u8p, ctypes.c_long]
+        lib.ssp_change_background_buf.restype = None
+        lib.ssp_change_background_buf.argtypes = [
+            u8p, u8p, ctypes.c_int, ctypes.c_int, u8p, ctypes.c_int,
+            ctypes.c_int]
         _lib = lib
         return _lib
+
+
+def _u8p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+class NativeSynthOps:
+    """Fused pixel core for multi-object scene synthesis.
+
+    Bit-exact vs the numpy ops in ``data/synth_multi.py`` (same f32 formulas
+    and truncation; crop/resize/roll/flip fold into one gather and the
+    foreground product commutes with selection).  All RNG draws stay in
+    Python, so enabling this path is draw-identical to the numpy path.
+    ctypes releases the GIL during calls — loader worker threads scale.
+    """
+
+    def __init__(self):
+        self.lib = load_native()
+        if self.lib is None:
+            raise RuntimeError("native synth ops unavailable (g++ build)")
+
+    def masked_resize(self, img: np.ndarray, mask: np.ndarray, pleft: int,
+                      ptop: int, cw: int, ch: int, out_w: int, out_h: int,
+                      shift_x: int = 0, shift_y: int = 0, flip: bool = False,
+                      total: Optional[np.ndarray] = None, thresh: int = 200):
+        """(masked_sized, mask_sized[, area, inter]) — fused
+        ``mask_foreground`` + ``crop_resize`` (+ roll/flip) of image AND
+        mask; with ``total`` also the rejection-test overlap counts."""
+        img = np.ascontiguousarray(img, np.uint8)
+        mask = np.ascontiguousarray(mask, np.uint8)
+        h, w = img.shape[:2]
+        msized = np.empty((out_h, out_w, 3), np.uint8)
+        ksized = np.empty((out_h, out_w, 3), np.uint8)
+        area = ctypes.c_long()
+        inter = ctypes.c_long()
+        tp = _u8p(total) if total is not None else None
+        self.lib.ssp_synth_masked_resize(
+            _u8p(img), _u8p(mask), h, w, pleft, ptop, cw, ch,
+            shift_x, shift_y, int(flip), out_w, out_h,
+            _u8p(msized), _u8p(ksized), tp, thresh,
+            ctypes.byref(area), ctypes.byref(inter))
+        if total is None:
+            return msized, ksized
+        return msized, ksized, int(area.value), int(inter.value)
+
+    def composite(self, fg: np.ndarray, mask: np.ndarray, canvas: np.ndarray,
+                  total: Optional[np.ndarray] = None) -> None:
+        """In place: ``superimpose`` into canvas (+ ``superimpose_masks``
+        into total when given)."""
+        self.lib.ssp_synth_composite(
+            _u8p(fg), _u8p(mask), _u8p(canvas),
+            _u8p(total) if total is not None else None, fg.size)
+
+    def change_background(self, canvas: np.ndarray, mask: np.ndarray,
+                          bg: np.ndarray) -> None:
+        """In place: ``augment.change_background`` on decoded buffers."""
+        bg = np.ascontiguousarray(bg, np.uint8)
+        self.lib.ssp_change_background_buf(
+            _u8p(canvas), _u8p(mask), canvas.shape[0], canvas.shape[1],
+            _u8p(bg), bg.shape[0], bg.shape[1])
 
 
 def native_available() -> bool:

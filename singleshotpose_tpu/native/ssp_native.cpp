@@ -543,6 +543,114 @@ void ssp_test_batch_u8(int n, const char** imgpaths, int out_w, int out_h,
 }
 
 // Header-only image dimensions (no pixel decode). Returns 0 ok.
+// ---- multi-object scene synthesis (data/synth_multi.py pixel core) --------
+//
+// These mirror the numpy pixel ops BIT-EXACTLY (same f32 formulas, same
+// truncation) while fusing the selection chain: zero-padded crop + nearest
+// resize + wrap-around roll + optional horizontal flip are all pure index
+// selections, so they compose into one gather, and the foreground
+// multiplication commutes with selection (u8 product of selected values).
+// All RNG draws stay in Python — the native path is draw-identical.
+
+// Masked crop-resize: msized = u8(img_sel * mask_sel / 255f),
+// masksized = mask_sel, where sel = flip ∘ roll(shift) ∘ resize ∘ crop.
+// When total != NULL, also counts the synth rejection-test overlap
+// (image_multi.py:340-353 semantics): area = #{max_c(masksized) > thresh},
+// inter = #{that & max_c(total) > thresh}.  img/mask are (h,w,3) u8.
+void ssp_synth_masked_resize(const uint8_t* img, const uint8_t* mask, int h,
+                             int w, int pleft, int ptop, int cw, int ch,
+                             int shift_x, int shift_y, int flip, int out_w,
+                             int out_h, uint8_t* msized, uint8_t* masksized,
+                             const uint8_t* total, int thresh, long* area,
+                             long* inter) {
+  auto mod = [](int v, int m) { int r = v % m; return r < 0 ? r + m : r; };
+  // hoist the x mapping: flip ∘ roll ∘ resize ∘ crop is y-independent, so
+  // precompute per-output-column source offsets (-1 = out of bounds / zero)
+  std::vector<long> sx3(out_w);
+  for (int x = 0; x < out_w; x++) {
+    int fx = flip ? out_w - 1 - x : x;       // flip applied after roll
+    int rx = mod(fx - shift_x, out_w);       // np.roll: out[x] = sized[x-s]
+    int xi = std::min(int((rx + 0.5) * cw / out_w), cw - 1);
+    int sx = pleft + xi;
+    sx3[x] = (sx >= 0 && sx < w) ? long(sx) * 3 : -1;
+  }
+  long a = 0, in = 0;
+  // mask-precomputed 1/255 reciprocal would change f32 results; keep /255.0f
+  for (int y = 0; y < out_h; y++) {
+    int ry = mod(y - shift_y, out_h);
+    int yi = std::min(int((ry + 0.5) * ch / out_h), ch - 1);
+    int sy = ptop + yi;
+    bool yin = sy >= 0 && sy < h;
+    uint8_t* mrow = msized + size_t(y) * out_w * 3;
+    uint8_t* krow = masksized + size_t(y) * out_w * 3;
+    const uint8_t* trow = total ? total + size_t(y) * out_w * 3 : nullptr;
+    if (!yin) {
+      memset(mrow, 0, size_t(out_w) * 3);
+      memset(krow, 0, size_t(out_w) * 3);
+      continue;                              // zero rows: no overlap counts
+    }
+    const uint8_t* irow = img + size_t(sy) * w * 3;
+    const uint8_t* karow = mask + size_t(sy) * w * 3;
+    for (int x = 0; x < out_w; x++) {
+      long s3 = sx3[x];
+      uint8_t mv0 = 0, mv1 = 0, mv2 = 0, kv0 = 0, kv1 = 0, kv2 = 0;
+      if (s3 >= 0) {
+        const uint8_t* ip = irow + s3;
+        const uint8_t* kp = karow + s3;
+        kv0 = kp[0]; kv1 = kp[1]; kv2 = kp[2];
+        // mask_foreground: u8(f32(img) * (f32(mask)/255)) — truncation
+        mv0 = uint8_t(float(ip[0]) * (kv0 / 255.0f));
+        mv1 = uint8_t(float(ip[1]) * (kv1 / 255.0f));
+        mv2 = uint8_t(float(ip[2]) * (kv2 / 255.0f));
+      }
+      mrow[x * 3 + 0] = mv0; mrow[x * 3 + 1] = mv1; mrow[x * 3 + 2] = mv2;
+      krow[x * 3 + 0] = kv0; krow[x * 3 + 1] = kv1; krow[x * 3 + 2] = kv2;
+      if (total) {
+        int kmax = std::max({int(kv0), int(kv1), int(kv2)});
+        if (kmax > thresh) {
+          a++;
+          int tmax = std::max({int(trow[x * 3]), int(trow[x * 3 + 1]),
+                               int(trow[x * 3 + 2])});
+          if (tmax > thresh) in++;
+        }
+      }
+    }
+  }
+  if (area) *area = a;
+  if (inter) *inter = in;
+}
+
+// Accepted-placement composite, one pass over npx3 = out_h*out_w*3 bytes:
+//   canvas = u8(fg·α + canvas·(1−α)),          α = mask/255   (superimpose)
+//   total  = u8(clip(mask + total·(1−mask/255), 0, 255))  (superimpose_masks)
+// total may be NULL (final base re-paste updates the canvas only).
+void ssp_synth_composite(const uint8_t* fg, const uint8_t* mask,
+                         uint8_t* canvas, uint8_t* total, long npx3) {
+  for (long i = 0; i < npx3; i++) {
+    float m = mask[i];
+    float a = m / 255.0f;
+    canvas[i] = uint8_t(float(fg[i]) * a + float(canvas[i]) * (1.0f - a));
+    if (total) {
+      float t = m + float(total[i]) * (1.0f - m / 255.0f);
+      total[i] = uint8_t(std::min(std::max(t, 0.0f), 255.0f));
+    }
+  }
+}
+
+// change_background on caller buffers: canvas = u8(canvas·α + bg_r·(1−α)),
+// bg nearest-resized to (out_h,out_w) first.  mask is (out_h,out_w,3).
+void ssp_change_background_buf(uint8_t* canvas, const uint8_t* mask,
+                               int out_h, int out_w, const uint8_t* bg,
+                               int bh, int bw) {
+  std::vector<uint8_t> bgr(size_t(out_h) * out_w * 3);
+  resize_nearest(bg, bh, bw, bgr.data(), out_h, out_w);
+  size_t n = size_t(out_h) * out_w * 3;
+  for (size_t i = 0; i < n; i++) {
+    float a = mask[i] / 255.0f;
+    canvas[i] = uint8_t(float(canvas[i]) * a + float(bgr[i]) * (1.0f - a));
+  }
+}
+
 int ssp_image_dims(const char* path, int* w, int* h) {
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
