@@ -51,6 +51,7 @@ _LAZY = {
     "export_serving": ("singleshotpose_tpu.serving", "export_serving"),
     "load_serving": ("singleshotpose_tpu.serving", "load_serving"),
     "aot_serving": ("singleshotpose_tpu.serving", "aot_serving"),
+    "save_exported": ("singleshotpose_tpu.serving", "save_exported"),
 }
 
 __all__ = ["config", "__version__"] + sorted(_LAZY)

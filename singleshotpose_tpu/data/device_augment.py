@@ -155,17 +155,38 @@ def augment_batch(images: jax.Array, masks: jax.Array, bgs: jax.Array,
     """Full train-sample augmentation for a batch, on device.
 
     Args:
-      images: (B, H, W, 3) float32 in [0,1] at native size (e.g. 480×640).
-      masks: (B, H, W, 1) float32 in [0,1] (alpha); pass ones to skip
-        compositing.
-      bgs: (B, H, W, 3) float32 backgrounds pre-resized to the image size
+      images: (B, H, W, 3) uint8 (the production path — 4x lighter
+        host→device transfer) or float32 in [0,1], at native size.
+      masks: (B, H, W, 1) same dtype family; full/ones to skip compositing.
+      bgs: (B, H, W, 3) backgrounds pre-resized to the image size
         (host nearest-resize, or reuse of a device-cached bg batch).
       params: per-sample crop/HSV parameters.
 
     Returns (B, out_h, out_w, 3) float32 in [0,1].
+
+    Integer inputs composite as a hard select (``mask >= 128`` keeps the
+    foreground): LINEMOD masks are binary, so this equals the reference's
+    alpha blend (``image.py:110-127``) while keeping every intermediate an
+    exact u8 — composite, crop and u8→f32 conversion are then identical
+    integer programs in every backend that shares them (``device_bank``),
+    making cross-backend bit-equality robust to XLA fusion/FMA choices
+    instead of hostage to them.  Float inputs take the legacy alpha-blend
+    path (soft masks blend; sub-ULP FMA differences possible vs the
+    integer path).
     """
-    # accept uint8 operands (4x lighter host→device transfer) and
-    # normalize on device
+    from .device_synth import _crop_resize_u8
+
+    if all(jnp.issubdtype(a.dtype, jnp.integer) for a in (images, masks, bgs)):
+        comp = jnp.where(masks >= 128, images, bgs)        # exact u8 select
+
+        def one_u8(img, pleft, ptop, sw, sh, dhue, dsat, dexp):
+            crop = _crop_resize_u8(img, pleft, ptop, sw, sh, out_w, out_h)
+            return _distort_hsv(crop, dhue, dsat, dexp)
+
+        return jax.vmap(one_u8)(comp, params.pleft, params.ptop,
+                                params.swidth, params.sheight, params.dhue,
+                                params.dsat, params.dexp)
+
     if jnp.issubdtype(images.dtype, jnp.integer):
         images = images.astype(jnp.float32) / 255.0
     if jnp.issubdtype(masks.dtype, jnp.integer):

@@ -17,16 +17,16 @@ transform, emitting device-resident (images, labels) with zero per-batch
 host↔device image traffic.
 
 Exactness: the output is **bit-identical to the ``device`` backend** (and
-therefore parity-by-metric with the reference like every device path).  The
-``device`` backend composites at native size and then crop-resizes; here
-each of (image, mask, background) is crop-resized first and composited
-after.  Nearest-neighbour crop-resize is a pure index selection with
-zero-filled out-of-bounds, so it commutes with the pointwise composite:
-``sel(i·m + b·(1−m)) = sel(i)·sel(m) + sel(b)·(1−sel(m))`` (OOB rows are 0
-on both sides).  ``_crop_resize_u8`` selects exact u8 values (int8 MXU
-einsums), and u8/255 products and sums are computed in f32 in the same
-order as ``device_augment.augment_batch`` — pinned by
-``tests/test_device_bank.py``.
+therefore parity-by-metric with the reference like every device path),
+because the per-sample program IS the device backend's: hard u8 select
+composite at native size (LINEMOD masks are binary, so select ≡ the
+reference's alpha blend), one ``_crop_resize_u8`` (exact int8-MXU
+selection), identical u8→f32 conversion, identical HSV chain.  Keeping
+every pre-HSV intermediate an exact integer is what makes the equality
+robust: two different XLA programs computing the same *float* blend may
+legally differ by 1 ulp (FMA contraction is fusion-context-dependent), and
+the HSV stage's u8 quantization amplifies those ulps into visible pixel
+flips — pinned by ``tests/test_device_bank.py``.
 
 Divergences (same ones the ``device`` backend already carries):
   * crops are normalized affine samples, ≤1 px from PIL rounding
@@ -184,14 +184,10 @@ def augment_bank_batch(bank: DeviceFrameBank, idxs: jax.Array,
     H, W = bank.frame_shape
 
     def one(i, bgi, pleft, ptop, sw, sh, dhue, dsat, dexp):
-        img_r = _crop_resize_u8(bank.images[i], pleft, ptop, sw, sh,
-                                out_w, out_h)
-        mask_r = _crop_resize_u8(bank.masks[i][..., None], pleft, ptop,
-                                 sw, sh, out_w, out_h)
-        bg_r = _crop_resize_u8(bank.bgs[bgi], pleft, ptop, sw, sh,
-                               out_w, out_h)
-        comp = img_r * mask_r + bg_r * (1.0 - mask_r)
-        out = _distort_hsv(comp, dhue, dsat, dexp)
+        comp_u8 = jnp.where(bank.masks[i][..., None] >= 128,
+                            bank.images[i], bank.bgs[bgi])
+        crop = _crop_resize_u8(comp_u8, pleft, ptop, sw, sh, out_w, out_h)
+        out = _distort_hsv(crop, dhue, dsat, dexp)
         sx, sy = sw / W, sh / H
         dx, dy = (pleft / W) / sx, (ptop / H) / sy
         rows = _transform_rows(bank.truths[i], bank.n_rows[i],

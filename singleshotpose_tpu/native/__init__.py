@@ -109,6 +109,10 @@ class NativeSynthOps:
         img = np.ascontiguousarray(img, np.uint8)
         mask = np.ascontiguousarray(mask, np.uint8)
         h, w = img.shape[:2]
+        if mask.shape[:2] != (h, w):
+            # the C kernel indexes mask with the image's strides; a
+            # mismatched mask would read out of bounds silently
+            raise ValueError(f"mask shape {mask.shape[:2]} != image {(h, w)}")
         msized = np.empty((out_h, out_w, 3), np.uint8)
         ksized = np.empty((out_h, out_w, 3), np.uint8)
         area = ctypes.c_long()
@@ -127,6 +131,9 @@ class NativeSynthOps:
                   total: Optional[np.ndarray] = None) -> None:
         """In place: ``superimpose`` into canvas (+ ``superimpose_masks``
         into total when given)."""
+        if not (fg.shape == mask.shape == canvas.shape and
+                (total is None or total.shape == fg.shape)):
+            raise ValueError("composite operands must share one shape")
         self.lib.ssp_synth_composite(
             _u8p(fg), _u8p(mask), _u8p(canvas),
             _u8p(total) if total is not None else None, fg.size)
@@ -134,6 +141,9 @@ class NativeSynthOps:
     def change_background(self, canvas: np.ndarray, mask: np.ndarray,
                           bg: np.ndarray) -> None:
         """In place: ``augment.change_background`` on decoded buffers."""
+        if mask.shape != canvas.shape:
+            raise ValueError(f"mask shape {mask.shape} != canvas "
+                             f"{canvas.shape}")
         bg = np.ascontiguousarray(bg, np.uint8)
         self.lib.ssp_change_background_buf(
             _u8p(canvas), _u8p(mask), canvas.shape[0], canvas.shape[1],

@@ -542,7 +542,6 @@ void ssp_test_batch_u8(int n, const char** imgpaths, int out_w, int out_h,
   for (auto& th : threads) th.join();
 }
 
-// Header-only image dimensions (no pixel decode). Returns 0 ok.
 // ---- multi-object scene synthesis (data/synth_multi.py pixel core) --------
 //
 // These mirror the numpy pixel ops BIT-EXACTLY (same f32 formulas, same
@@ -651,6 +650,7 @@ void ssp_change_background_buf(uint8_t* canvas, const uint8_t* mask,
   }
 }
 
+// Header-only image dimensions (no pixel decode). Returns 0 ok.
 int ssp_image_dims(const char* path, int* w, int* h) {
   FILE* f = fopen(path, "rb");
   if (!f) return -1;

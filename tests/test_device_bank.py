@@ -104,8 +104,10 @@ def test_bank_sharded_matches_single_device(tiny_linemod):  # noqa: F811
     assert len(single) == len(sharded) == 1
     np.testing.assert_array_equal(np.asarray(single[0][0]),
                                   np.asarray(sharded[0][0]))
-    np.testing.assert_array_equal(np.asarray(single[0][1]),
-                                  np.asarray(sharded[0][1]))
+    # labels are f32 affine transforms — GSPMD partitioning may fuse the
+    # multiply-adds differently (1-ulp FMA contraction), same as vs host
+    np.testing.assert_allclose(np.asarray(single[0][1]),
+                               np.asarray(sharded[0][1]), atol=2e-6)
 
 
 def test_run_training_device_bank_smoke(tmp_path):
