@@ -407,6 +407,52 @@ def bench_train_e2e():
     return n / dt
 
 
+def bench_train_e2e_device_bank(batch: int = TRAIN_BATCH):
+    """End-to-end single-object training with the HBM frame bank
+    (``--loader_backend device_bank``): the corpus is decoded once into
+    device memory, then every batch is one jitted gather→crop→composite→HSV
+    program chained into the fused train step — zero per-batch host image
+    traffic (the host only draws rng params and dispatches).
+
+    Same dataset/step as :func:`bench_train_e2e`, so the pair isolates what
+    the host loader + h2d path costs on this host (reference hot loop
+    ``train.py:76-129`` + ``image.py:46-127`` in DataLoader workers).
+    """
+    from singleshotpose_tpu.data.pipeline import PoseDataset, Loader
+    from singleshotpose_tpu.ops.losses import RegionLossConfig
+    from singleshotpose_tpu.training import init_train_state, make_train_step
+    from singleshotpose_tpu.zoo import yolo_pose_single
+
+    base = "/tmp/ssp_bench_train"
+    _gen_eval_dataset(base, EVAL_FRAMES, masks=True)
+    net = yolo_pose_single()
+    state = init_train_state(*net.init_params(jax.random.PRNGKey(0)))
+    step = make_train_step(net, RegionLossConfig.single(),
+                           weight_decay=0.0005 * batch, momentum=0.9,
+                           compute_dtype=jnp.bfloat16,
+                           fused_stem=jax.default_backend() == "tpu")
+    ds = PoseDataset(f"{base}/test.txt", train=True,
+                     bg_file_names=[f"{base}/bg.jpg"])
+
+    loader = Loader(ds, batch, schedule=None, fixed_shape=(SIZE, SIZE),
+                    num_workers=0, seed=0, backend="device_bank")
+
+    def epoch(state):
+        n = 0
+        for images, labels in loader:   # device arrays; dispatch is async
+            state, stats = step(state, images, labels,
+                                np.float32(1e-4), np.int32(100))
+            n += batch
+        int(jax.device_get(state.seen))         # real sync
+        return state, n
+
+    state, _ = epoch(state)             # warm: bank build + compile
+    t0 = time.perf_counter()
+    state, n = epoch(state)
+    dt = time.perf_counter() - t0
+    return n / dt
+
+
 def _gen_eval_dataset(base: str, n: int, masks: bool = False) -> str:
     """LINEMOD-format synthetic eval set: 640×480 JPEG frames (smooth content
     so decode cost resembles real photos), labels, mesh, .data config."""
@@ -567,6 +613,12 @@ def main():
             extra["train_e2e_sps"] = round(bench_train_e2e(), 1)
         except (RuntimeError, OSError):
             extra["train_e2e_sps"] = None   # native loader unavailable
+        try:
+            extra["train_e2e_device_bank_sps"] = round(
+                bench_train_e2e_device_bank(), 1)
+        except (RuntimeError, OSError) as e:
+            extra["train_e2e_device_bank_sps"] = None
+            print(f"# device_bank bench failed: {e!r}")
     if args.only == "synth":
         extra["synth_scenes_per_sec"] = round(bench_synth_scenes(), 1)
         extra["train_multi_e2e_sps"] = round(bench_train_multi_e2e(), 1)

@@ -64,3 +64,14 @@ def test_train_step_bench_body_traces(monkeypatch):
     monkeypatch.setattr(bench, "SIZE", 64)
     step_ms, sps = bench.bench_train_step(batch=2, chain=1)
     assert step_ms > 0 and sps > 0
+
+
+def test_train_e2e_device_bank_bench_body_traces(monkeypatch, tmp_path):
+    """bench_train_e2e_device_bank end to end at 64², batch 2 on CPU.
+
+    Exercises the Loader(backend="device_bank") → fused-step handoff (bank
+    build, device-resident batches feeding the step directly)."""
+    monkeypatch.setattr(bench, "SIZE", 64)
+    monkeypatch.setattr(bench, "EVAL_FRAMES", 4)
+    sps = bench.bench_train_e2e_device_bank(batch=2)
+    assert sps > 0
