@@ -44,9 +44,48 @@ BATCH = 128          # throughput-optimal on v5e (32→2.4k, 64→3.1k, 128→4.
 SIZE = 416
 CHAIN = 30
 TRAIN_BATCH = 8      # the reference single-object config ([net] batch=8)
+TRAIN_BASE = "/tmp/ssp_bench_train"   # shared by the two train-e2e benches
+                                      # (tests monkeypatch this to a tmp dir)
 TRAIN_CHAIN = 20
 EVAL_FRAMES = 256
 EVAL_BATCH = 48
+
+
+V5E_PEAK_BF16 = 197e12   # TPU v5e: 197 TFLOP/s bf16, 394 TOPS int8
+V5E_PEAK_INT8 = 394e12   # (per-chip peaks; MFU = achieved / peak)
+
+
+def _model_flops_per_frame(net, size: int) -> float:
+    """Analytic conv FLOPs (2·MACs) for one frame at a square input size.
+
+    Walks the cfg-compiled spec with the same shape propagation the forward
+    pass uses (convs are 'same'-padded in darknet pose cfgs; maxpool stride-s
+    divides; reorg stride-s divides; route/shortcut reuse cached shapes).
+    Non-conv ops are ignored — convs carry ~99.9% of the FLOPs.
+    """
+    from singleshotpose_tpu.models.darknet import (ConvSpec, MaxPoolSpec,
+                                                   ReorgSpec, RouteSpec,
+                                                   ShortcutSpec)
+    h = w = size
+    shapes = []                      # per-layer (h, w)
+    flops = 0.0
+    for spec in net.layers:
+        if isinstance(spec, ConvSpec):
+            h = (h + 2 * spec.pad - spec.size) // spec.stride + 1
+            w = (w + 2 * spec.pad - spec.size) // spec.stride + 1
+            flops += 2.0 * h * w * spec.in_filters * spec.filters \
+                * spec.size * spec.size
+        elif isinstance(spec, MaxPoolSpec):
+            if spec.stride > 1:
+                h, w = h // spec.stride, w // spec.stride
+        elif isinstance(spec, ReorgSpec):
+            h, w = h // spec.stride, w // spec.stride
+        elif isinstance(spec, RouteSpec):
+            h, w = shapes[spec.layers[0]]
+        elif isinstance(spec, ShortcutSpec):
+            h, w = shapes[spec.from_layer]
+        shapes.append((h, w))
+    return flops
 
 
 def bench_infer(quantize: bool = False):
@@ -232,8 +271,8 @@ def bench_train_step(batch: int = TRAIN_BATCH, chain: int = TRAIN_CHAIN):
     return step_ms, batch * chain / dt
 
 
-def _fake_scene_bank():
-    """A LINEMOD-scale in-memory frame bank (13 objects × 30 frames at
+def _fake_scene_bank(nf: int = 30):
+    """A LINEMOD-scale in-memory frame bank (13 objects × ``nf`` frames at
     640×480 — synthesis compute per scene is bank-size independent).
     Returns (device-placed DeviceSceneBank, total frames N)."""
     from singleshotpose_tpu.data.device_synth import DeviceSceneBank
@@ -241,7 +280,7 @@ def _fake_scene_bank():
                                                      OCCLUSION_CLASSES)
 
     rng = np.random.RandomState(0)
-    NOBJ, NF = 13, 30
+    NOBJ, NF = 13, nf
     N = NOBJ * NF
     imgs = rng.randint(0, 255, (N, 480, 640, 3), np.uint8)
     masks = np.zeros((N, 480, 640), np.uint8)
@@ -267,7 +306,7 @@ def _fake_scene_bank():
     return bank, N
 
 
-def bench_synth_scenes(batch: int = 32, iters: int = 12):
+def bench_synth_scenes(batch: int = 32, iters: int = 12, nf: int = 30):
     """On-device multi-object scene synthesis throughput (scenes/s).
 
     Times ``data/device_synth._synthesize_one`` vmapped over a batch at 416²
@@ -279,7 +318,7 @@ def bench_synth_scenes(batch: int = 32, iters: int = 12):
     from singleshotpose_tpu.data.device_synth import (DeviceSynthStatic,
                                                       _synthesize_one)
 
-    bank, N = _fake_scene_bank()
+    bank, N = _fake_scene_bank(nf)
     st = DeviceSynthStatic(propose_scale=4)
 
     @partial(jax.jit, static_argnames=("iters",))
@@ -306,7 +345,7 @@ def bench_synth_scenes(batch: int = 32, iters: int = 12):
     return batch * iters / dt
 
 
-def bench_train_multi_e2e(batch: int = 32, iters: int = 8):
+def bench_train_multi_e2e(batch: int = 32, iters: int = 8, nf: int = 30):
     """Multi-object (OCCLUSION) training END TO END with on-device scene
     synthesis: each chained iteration synthesizes its batch from the HBM
     frame bank and feeds the fused multi train step — zero host↔device image
@@ -324,7 +363,7 @@ def bench_train_multi_e2e(batch: int = 32, iters: int = 8):
     from singleshotpose_tpu.training import init_train_state, make_train_step
     from singleshotpose_tpu.zoo import yolo_pose_multi
 
-    bank, N = _fake_scene_bank()
+    bank, N = _fake_scene_bank(nf)
     st = DeviceSynthStatic(propose_scale=4)
     net = yolo_pose_multi()
     state = init_train_state(*net.init_params(jax.random.PRNGKey(0)))
@@ -375,7 +414,7 @@ def bench_train_e2e():
     from singleshotpose_tpu.training import init_train_state, make_train_step
     from singleshotpose_tpu.zoo import yolo_pose_single
 
-    base = "/tmp/ssp_bench_train"
+    base = TRAIN_BASE
     _gen_eval_dataset(base, EVAL_FRAMES, masks=True)
     net = yolo_pose_single()
     state = init_train_state(*net.init_params(jax.random.PRNGKey(0)))
@@ -423,7 +462,7 @@ def bench_train_e2e_device_bank(batch: int = TRAIN_BATCH):
     from singleshotpose_tpu.training import init_train_state, make_train_step
     from singleshotpose_tpu.zoo import yolo_pose_single
 
-    base = "/tmp/ssp_bench_train"
+    base = TRAIN_BASE
     _gen_eval_dataset(base, EVAL_FRAMES, masks=True)
     net = yolo_pose_single()
     state = init_train_state(*net.init_params(jax.random.PRNGKey(0)))
@@ -434,6 +473,10 @@ def bench_train_e2e_device_bank(batch: int = TRAIN_BATCH):
     ds = PoseDataset(f"{base}/test.txt", train=True,
                      bg_file_names=[f"{base}/bg.jpg"])
 
+    # One Loader reused for the warm and the timed epoch (the HBM bank build
+    # costs ~18 s; rebuilding per epoch would dominate). Carrying rng/seen
+    # across epochs is only shape-safe because schedule=None pins a single
+    # fixed shape — a multi-scale schedule would recompile mid-measurement.
     loader = Loader(ds, batch, schedule=None, fixed_shape=(SIZE, SIZE),
                     num_workers=0, seed=0, backend="device_bank")
 
@@ -455,8 +498,24 @@ def bench_train_e2e_device_bank(batch: int = TRAIN_BATCH):
 
 def _gen_eval_dataset(base: str, n: int, masks: bool = False) -> str:
     """LINEMOD-format synthetic eval set: 640×480 JPEG frames (smooth content
-    so decode cost resembles real photos), labels, mesh, .data config."""
+    so decode cost resembles real photos), labels, mesh, .data config.
+
+    Idempotent: if a previous bench in this run already generated the same
+    dataset at ``base`` (same frame count, masks present when requested),
+    reuse it instead of re-rendering n JPEGs."""
     from PIL import Image
+    datapath = f"{base}/synth.data"
+    try:
+        with open(f"{base}/test.txt") as f:
+            lines = [ln for ln in f.read().splitlines() if ln]
+        if (len(lines) == n and os.path.exists(datapath)
+                and all(os.path.exists(p) for p in lines[:2])
+                and (not masks or os.path.exists(
+                    lines[0].replace("JPEGImages", "mask")
+                            .replace("/00", "/").replace(".jpg", ".png")))):
+            return datapath
+    except OSError:
+        pass
     rng = np.random.RandomState(5)
     dirs = ("JPEGImages", "labels") + (("mask",) if masks else ())
     for d in dirs:
@@ -549,6 +608,47 @@ def bench_eval_e2e():
     return fps
 
 
+def _run_synth_group(scale: str = "full") -> dict:
+    """The two scene-synthesis numbers. ``scale="small"`` is a degraded
+    config (8 frames/object bank, batch 16) that still yields a real
+    number when the full-size bank + program peak is what kills the
+    TPU worker — a smaller measured value beats a null artifact."""
+    if scale == "small":
+        return {
+            "synth_scenes_per_sec": round(
+                bench_synth_scenes(batch=16, iters=8, nf=8), 1),
+            "train_multi_e2e_sps": round(
+                bench_train_multi_e2e(batch=16, iters=6, nf=8), 1),
+        }
+    return {"synth_scenes_per_sec": round(bench_synth_scenes(), 1),
+            "train_multi_e2e_sps": round(bench_train_multi_e2e(), 1)}
+
+
+def _wait_for_tpu_health(max_wait: float = 150.0) -> bool:
+    """Poll (in throwaway subprocesses) until a trivial TPU op succeeds.
+
+    BENCH_r02 showed 3/3 child crashes with 15 s backoffs while the parent —
+    connecting ~1 min later — worked fine: the dominant failure mode is a
+    TPU worker that is still restarting when the child connects, and a PJRT
+    client that touched the dead worker is unusable for the rest of its
+    process lifetime.  Probing from a fresh tiny process sidesteps both:
+    no heavy compile wasted on a dead worker, no poisoned client.
+    """
+    probe = ("import jax, jax.numpy as jnp; "
+             "jax.block_until_ready(jnp.ones((128, 128)) @ jnp.ones((128, 128)))")
+    deadline = time.time() + max_wait
+    while True:
+        proc = subprocess.run([sys.executable, "-c", probe],
+                              stdout=subprocess.DEVNULL,
+                              stderr=subprocess.DEVNULL, timeout=120)
+        if proc.returncode == 0:
+            return True
+        if time.time() > deadline:
+            return False
+        print("# TPU health probe failed; waiting for worker restart...")
+        time.sleep(15)
+
+
 def _synth_group_in_subprocess():
     """Run the scene-synthesis benches in a FRESH process (own TPU client).
 
@@ -559,19 +659,34 @@ def _synth_group_in_subprocess():
     chip with an already-live parent client intermittently dies (rc=1).
     Hence main() runs this FIRST, before the parent initializes its own TPU
     client; the persistent compilation cache keeps re-compiles near zero.
+
+    Escalation ladder (each attempt preceded by a fresh-process health
+    probe so we never burn an attempt on a still-restarting worker):
+    full-size bank ×2, then the degraded small config — a smaller measured
+    number still beats a null artifact.  If everything here fails, main()
+    falls back to running the group inline in the parent at the end.
     """
     last = ""
-    for attempt in range(3):
+    for attempt, (scale, backoff) in enumerate(
+            [("full", 0), ("full", 30), ("small", 60)]):
         if attempt:
-            print(f"# synth bench retry {attempt} (worker restart): {last}")
-            time.sleep(15)          # let the crashed TPU worker come back
+            print(f"# synth bench retry {attempt} (scale={scale}): {last}")
+            time.sleep(backoff)     # let the crashed TPU worker come back
+        if not _wait_for_tpu_health():
+            last = "health probe never passed"
+            continue
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--only", "synth"],
+            [sys.executable, os.path.abspath(__file__), "--only", "synth",
+             "--synth_scale", scale],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            timeout=1800,
             cwd=os.path.dirname(os.path.abspath(__file__)))
         for line in reversed(proc.stdout.splitlines()):
             if line.startswith("{"):
-                return json.loads(line)["extra"]
+                out = json.loads(line)["extra"]
+                if scale != "full":
+                    print(f"# synth group measured at scale={scale}")
+                return out
         last = (f"rc={proc.returncode}: "
                 + " | ".join(proc.stderr.splitlines()[-3:]))
     raise RuntimeError(f"synth bench subprocess failed after retries, {last}")
@@ -582,22 +697,25 @@ def main():
     ap.add_argument("--only", choices=["infer", "train", "synth", "eval"],
                     default=None, help="run a single group (default: all; "
                     "'synth' runs in a subprocess from the default run)")
+    ap.add_argument("--synth_scale", choices=["full", "small"],
+                    default="full", help="bank/batch size for --only synth")
     args = ap.parse_args()
 
     extra = {}
     fps = None
+    synth_pending = False
     if args.only is None:
         # the synth group runs FIRST, in a clean child process, while this
         # parent has not yet initialized its own TPU client: a child sharing
         # the chip with a live parent client intermittently fails through
         # the axon plugin (observed rc=1 mid-bench; clean-first always works)
         try:
-            merged = _synth_group_in_subprocess()
+            extra.update(_synth_group_in_subprocess())
         except Exception as e:        # degrade gracefully: a synth-group
-            merged = {"synth_scenes_per_sec": None,    # failure must not
-                      "train_multi_e2e_sps": None}     # lose other metrics
-            print(f"# synth bench group failed: {e!r}")
-        extra.update(merged)
+            synth_pending = True      # failure must not lose other metrics;
+            print(f"# synth bench group failed: {e!r}")   # retried inline
+            extra.update({"synth_scenes_per_sec": None,   # at the end
+                          "train_multi_e2e_sps": None})
     if args.only in (None, "infer"):
         fps = bench_infer()
         extra["infer_fps_int8"] = round(bench_infer(quantize=True), 1)
@@ -620,14 +738,44 @@ def main():
             extra["train_e2e_device_bank_sps"] = None
             print(f"# device_bank bench failed: {e!r}")
     if args.only == "synth":
-        extra["synth_scenes_per_sec"] = round(bench_synth_scenes(), 1)
-        extra["train_multi_e2e_sps"] = round(bench_train_multi_e2e(), 1)
+        extra.update(_run_synth_group(args.synth_scale))
     if args.only in (None, "eval"):
         eval_fps = bench_eval_e2e()
         extra["eval_e2e_fps"] = round(eval_fps["rgb"], 1) \
             if eval_fps["rgb"] else None
         extra["eval_e2e_fps_yuv420"] = round(eval_fps["yuv420"], 1) \
             if eval_fps["yuv420"] else None
+    if synth_pending:
+        # Last resort: run the synth group inline, in THIS parent process.
+        # BENCH_r02 proved the parent's client survives the whole run even
+        # when the clean-child path crashes 3/3, so an inline attempt after
+        # every other number is already collected risks nothing we haven't
+        # already banked (a kernel fault surfaces as a catchable
+        # JaxRuntimeError at the device_get) and converts a null artifact
+        # into a measured one.
+        for scale in ("full", "small"):
+            try:
+                extra.update(_run_synth_group(scale))
+                print(f"# synth group ran inline in parent (scale={scale})")
+                break
+            except Exception as e:
+                print(f"# inline synth (scale={scale}) failed: {e!r}")
+
+    if jax.default_backend() == "tpu":
+        # MFU (achieved / v5e chip peak) so perf is judged on utilization,
+        # not just fps: fwd ≈ 33.4 GFLOP/frame at 416², train step ≈ 3× fwd
+        # (fwd + ~2× bwd, the standard estimate for conv nets).
+        from singleshotpose_tpu.zoo import yolo_pose_single
+        gf = _model_flops_per_frame(yolo_pose_single(), SIZE)
+        extra["model_gflops_per_frame_416"] = round(gf / 1e9, 1)
+        if fps:
+            extra["mfu_infer_bf16"] = round(fps * gf / V5E_PEAK_BF16, 3)
+        if extra.get("infer_fps_int8"):
+            extra["mfu_infer_int8"] = round(
+                extra["infer_fps_int8"] * gf / V5E_PEAK_INT8, 3)
+        if extra.get("train_sps_b128"):
+            extra["mfu_train_b128"] = round(
+                extra["train_sps_b128"] * 3 * gf / V5E_PEAK_BF16, 3)
 
     if fps is None:                 # --only train/eval: still one JSON line
         metric, value = next(iter(extra.items()))

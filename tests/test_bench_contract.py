@@ -73,5 +73,6 @@ def test_train_e2e_device_bank_bench_body_traces(monkeypatch, tmp_path):
     build, device-resident batches feeding the step directly)."""
     monkeypatch.setattr(bench, "SIZE", 64)
     monkeypatch.setattr(bench, "EVAL_FRAMES", 4)
+    monkeypatch.setattr(bench, "TRAIN_BASE", str(tmp_path / "bench_train"))
     sps = bench.bench_train_e2e_device_bank(batch=2)
     assert sps > 0
