@@ -612,7 +612,13 @@ def _run_synth_group(scale: str = "full") -> dict:
     """The two scene-synthesis numbers. ``scale="small"`` is a degraded
     config (8 frames/object bank, batch 16) that still yields a real
     number when the full-size bank + program peak is what kills the
-    TPU worker — a smaller measured value beats a null artifact."""
+    TPU worker — a smaller measured value beats a null artifact.
+    ``scale="probe"`` is the sacrificial health probe: a miniature run of
+    the same code path (int8 one-hot einsums, scan, gathers), cheap enough
+    to burn on a fragile worker."""
+    if scale == "probe":
+        return {"synth_probe_scenes_per_sec": round(
+            bench_synth_scenes(batch=2, iters=2, nf=2), 1)}
     if scale == "small":
         return {
             "synth_scenes_per_sec": round(
@@ -624,7 +630,7 @@ def _run_synth_group(scale: str = "full") -> dict:
             "train_multi_e2e_sps": round(bench_train_multi_e2e(), 1)}
 
 
-def _wait_for_tpu_health(max_wait: float = 150.0) -> bool:
+def _wait_for_tpu_health(max_wait: float = 150.0, heavy: bool = False) -> bool:
     """Poll (in throwaway subprocesses) until a trivial TPU op succeeds.
 
     BENCH_r02 showed 3/3 child crashes with 15 s backoffs while the parent —
@@ -633,20 +639,44 @@ def _wait_for_tpu_health(max_wait: float = 150.0) -> bool:
     client that touched the dead worker is unusable for the rest of its
     process lifetime.  Probing from a fresh tiny process sidesteps both:
     no heavy compile wasted on a dead worker, no poisoned client.
+
+    ``heavy=True`` adds a second stage: a *sacrificial* miniature synth run
+    (``--synth_scale probe``).  Root-cause evidence (round 3): the crash is
+    not program-shape or cache-state dependent — the identical full-size
+    program crashed the worker on the session's first heavy touch and then
+    ran reliably (cold cache included) right after the worker restarted.
+    The fragile state is in the worker; a trivial matmul passes through it,
+    a real program (scan + gathers + int8 einsums) kills it.  Burning the
+    ~30 s probe on a fragile worker converts a lost 5-minute bench attempt
+    into a probe retry against the freshly-restarted (now stable) worker.
     """
     probe = ("import jax, jax.numpy as jnp; "
              "jax.block_until_ready(jnp.ones((128, 128)) @ jnp.ones((128, 128)))")
     deadline = time.time() + max_wait
+    stage = 0                       # 0 = trivial matmul, 1 = heavy probe
     while True:
-        proc = subprocess.run([sys.executable, "-c", probe],
-                              stdout=subprocess.DEVNULL,
-                              stderr=subprocess.DEVNULL, timeout=120)
+        if stage == 0:
+            proc = subprocess.run([sys.executable, "-c", probe],
+                                  stdout=subprocess.DEVNULL,
+                                  stderr=subprocess.DEVNULL, timeout=120)
+        else:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--only",
+                 "synth", "--synth_scale", "probe"],
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                timeout=600,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
         if proc.returncode == 0:
-            return True
+            if stage == 1 or not heavy:
+                return True
+            stage = 1               # matmul ok → run the sacrificial probe
+            continue
         if time.time() > deadline:
             return False
-        print("# TPU health probe failed; waiting for worker restart...")
+        print(f"# TPU health probe (stage {stage}) failed; "
+              "waiting for worker restart...")
         time.sleep(15)
+        stage = 0                   # after a crash, start from the cheap probe
 
 
 def _synth_group_in_subprocess():
@@ -672,7 +702,7 @@ def _synth_group_in_subprocess():
         if attempt:
             print(f"# synth bench retry {attempt} (scale={scale}): {last}")
             time.sleep(backoff)     # let the crashed TPU worker come back
-        if not _wait_for_tpu_health():
+        if not _wait_for_tpu_health(heavy=True):
             last = "health probe never passed"
             continue
         proc = subprocess.run(
@@ -697,8 +727,9 @@ def main():
     ap.add_argument("--only", choices=["infer", "train", "synth", "eval"],
                     default=None, help="run a single group (default: all; "
                     "'synth' runs in a subprocess from the default run)")
-    ap.add_argument("--synth_scale", choices=["full", "small"],
-                    default="full", help="bank/batch size for --only synth")
+    ap.add_argument("--synth_scale", choices=["full", "small", "probe"],
+                    default="full", help="bank/batch size for --only synth "
+                    "('probe' = sacrificial worker-health probe)")
     args = ap.parse_args()
 
     extra = {}
