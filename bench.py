@@ -271,6 +271,63 @@ def bench_train_step(batch: int = TRAIN_BATCH, chain: int = TRAIN_CHAIN):
     return step_ms, batch * chain / dt
 
 
+def bench_train_step_dp_mesh(batch: int = TRAIN_BATCH,
+                             chain: int = TRAIN_CHAIN):
+    """Fused train step under a ("data","model") mesh with the SHARDED
+    Pallas stem (shard_map over the data axis, psum'd BN stats).
+
+    On the 1-chip bench device the mesh is degenerate (dp=1), so this
+    measures that the shard_map stem path keeps the batch-8 step win when
+    training goes data-parallel (round 2 disabled the stem under any mesh;
+    the multichip execution semantics are pinned by
+    tests/test_stem.py::test_train_step_mesh_fused_stem_* on the 8-device
+    virtual mesh and dryrun_multichip).  Returns step_ms.
+    """
+    from singleshotpose_tpu.ops.losses import RegionLossConfig
+    from singleshotpose_tpu.parallel.sharding import (
+        batch_stats_shardings, make_mesh, param_shardings, shard_host_batch)
+    from singleshotpose_tpu.training import TrainState, make_train_step
+    from singleshotpose_tpu.zoo import yolo_pose_single
+
+    mesh = make_mesh(dp=1, mp=1)
+    net = yolo_pose_single()
+    params, bstats = net.init_params(jax.random.PRNGKey(0))
+    state = TrainState(
+        jax.tree.map(jax.device_put, params, param_shardings(net, mesh)),
+        jax.tree.map(jax.device_put, bstats,
+                     batch_stats_shardings(net, mesh)),
+        jax.tree.map(jnp.zeros_like, params), jnp.asarray(0, jnp.int32))
+    raw_step = make_train_step(net, RegionLossConfig.single(),
+                               weight_decay=0.0005 * batch,
+                               momentum=0.9, compute_dtype=jnp.bfloat16,
+                               donate=False, jit_compile=False,
+                               fused_stem=jax.default_backend() == "tpu",
+                               stem_mesh=mesh)
+
+    rng = np.random.RandomState(0)
+    images_h = rng.rand(batch, SIZE, SIZE, 3).astype(np.float32)
+    target_h = np.zeros((batch, 50 * 21), np.float32)
+    tt = target_h.reshape(batch, 50, 21)
+    tt[:, 0, 1:19] = rng.uniform(0.2, 0.8, (batch, 18))
+    tt[:, 0, 19:21] = [0.3, 0.4]
+    images, target = shard_host_batch(mesh, images_h, target_h)
+
+    @partial(jax.jit, static_argnames=("iters",), donate_argnums=(0,))
+    def chained_train(state, images, target, iters):
+        def body(i, st):
+            st, _stats = raw_step(st, images, target,
+                                  jnp.float32(0.001 / batch), 100)
+            return st
+        return jax.lax.fori_loop(0, iters, body, state)
+
+    state = chained_train(state, images, target, chain)  # compile+warm
+    int(jax.device_get(state.seen))
+    t0 = time.perf_counter()
+    state = chained_train(state, images, target, chain)
+    int(jax.device_get(state.seen))
+    return (time.perf_counter() - t0) / chain * 1e3
+
+
 def _fake_scene_bank(nf: int = 30):
     """A LINEMOD-scale in-memory frame bank (13 objects × ``nf`` frames at
     640×480 — synthesis compute per scene is bank-size independent).
@@ -756,6 +813,9 @@ def main():
         step_ms, tps = bench_train_step()
         extra["train_step_ms_b8"] = round(step_ms, 2)
         extra["train_samples_per_sec"] = round(tps, 1)
+        if jax.default_backend() == "tpu":
+            extra["train_step_ms_b8_dp_mesh"] = round(
+                bench_train_step_dp_mesh(), 2)
         _, tps128 = bench_train_step(batch=128, chain=8)
         extra["train_sps_b128"] = round(tps128, 1)
         try:

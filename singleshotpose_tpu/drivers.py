@@ -525,10 +525,10 @@ class TrainRunConfig:
     loader_backend: str = "auto"  # auto|python|native|device|device_bank
     #                               (multi: auto|python|device_synth)
     precompile_buckets: bool = False   # pre-pay multi-scale XLA compiles
-    # None → auto: fused Pallas stem (ops/stem.py) on an unsharded TPU
-    # backend with bf16 compute (batch-8 train step 14.9 → 10.9 ms on v5e).
-    # Under a mesh the Mosaic custom calls have no GSPMD rule, so auto
-    # disables it (same gating story as use_pallas for the loss kernel).
+    # None → auto: fused Pallas stem (ops/stem.py) on a TPU backend with
+    # bf16 compute (batch-8 train step 14.9 → 10.9 ms on v5e).  Under a
+    # mesh it runs as a shard_map over the data axis with psum'd BN stats
+    # (per-device batch gate in stem_supported).
     fused_stem: Optional[bool] = None
 
 
@@ -536,12 +536,10 @@ class TrainRunConfig:
 def _resolve_fused_stem(rc: "TrainRunConfig") -> bool:
     """Auto policy for the fused Pallas stem (see TrainRunConfig.fused_stem).
 
-    A sharded mesh always disables it — Mosaic custom calls carry no GSPMD
-    partitioning rule, so even an explicit ``fused_stem=True`` would fail to
-    compile under pjit rather than run; the mesh gate wins over the override.
+    Under a sharded mesh the stem runs as a shard_map over the data axis
+    with psum'd BN statistics (``ops/stem.stem_conv_bn_pool_train_sharded``);
+    the per-device batch gate lives in ``stem_supported``.
     """
-    if rc.mesh is not None:
-        return False
     if rc.fused_stem is not None:
         return rc.fused_stem
     return (rc.compute_dtype == jnp.bfloat16
@@ -620,7 +618,8 @@ def run_training(datacfg: str, modelcfg: Union[str, DarknetSpec],
                            weight_decay=net.decay * batch_size,
                            momentum=net.momentum,
                            compute_dtype=rc.compute_dtype,
-                           fused_stem=_resolve_fused_stem(rc))
+                           fused_stem=_resolve_fused_stem(rc),
+                           stem_mesh=rc.mesh)
 
     bg_files = get_all_files(rc.bg_dir) if os.path.isdir(rc.bg_dir) else []
     ds = PoseDataset(dcfg.train, train=True, bg_file_names=bg_files,
@@ -907,7 +906,8 @@ def run_training_multi(datacfg: str, modelcfg: Union[str, DarknetSpec],
                            weight_decay=net.decay * batch_size,
                            momentum=net.momentum,
                            compute_dtype=rc.compute_dtype,
-                           fused_stem=_resolve_fused_stem(rc))
+                           fused_stem=_resolve_fused_stem(rc),
+                           stem_mesh=rc.mesh)
 
     if linemod_root is None:
         # reference hard-codes '../LINEMOD/<obj>/train.txt' relative to the

@@ -317,7 +317,7 @@ class DarknetSpec:
                         preferred_dtype=None if cd is not None else jnp.float32)
 
     def apply(self, params, x: jax.Array, *, batch_stats=None, train: bool = False,
-              compute_dtype=None, fused_stem: bool = False):
+              compute_dtype=None, fused_stem: bool = False, stem_mesh=None):
         """Run the network. ``x`` is NHWC float (0..1 RGB).
 
         Inference (``train=False``): uses running BN stats; returns the raw
@@ -331,7 +331,11 @@ class DarknetSpec:
 
         ``fused_stem=True`` (train only) runs the leading conv+BN+leaky+pool
         block as the Pallas phase-split stem (``ops/stem.py``) when the spec
-        matches — silently falls back otherwise.  Caveat: the fused stem's
+        matches — silently falls back otherwise.  Under a sharded mesh pass
+        ``stem_mesh``: the stem then runs as a ``shard_map`` over the data
+        axis with psum'd BN statistics (Mosaic custom calls have no GSPMD
+        rule, so the bare kernel would force a full-batch gather); the
+        batch gate applies per-device.  Caveat: the fused stem's
         custom VJP returns a structural ZERO for the input-image cotangent
         (training never differentiates w.r.t. the image); for input-gradient
         uses (saliency, adversarial perturbations) keep ``fused_stem=False``.
@@ -341,17 +345,25 @@ class DarknetSpec:
         new_stats: Dict[str, Dict[str, jax.Array]] = {}
         start = 0
         if fused_stem and train:
-            from ..ops.stem import stem_supported, stem_conv_bn_pool_train
+            from ..ops.stem import (stem_supported, stem_conv_bn_pool_train,
+                                    stem_conv_bn_pool_train_sharded)
             # shape gate inside stem_supported: the stem wins only while
             # C=32 pads the 128-lane axis (batch < 64; measured 1133 sps
-            # unfused vs 1058 fused at B=128, 14.9 -> 10.9 ms at B=8)
-            if stem_supported(self, compute_dtype, x.shape):
+            # unfused vs 1058 fused at B=128, 14.9 -> 10.9 ms at B=8);
+            # under a mesh the gate sees the per-device batch
+            shards = stem_mesh.shape["data"] if stem_mesh is not None else 1
+            if stem_supported(self, compute_dtype, x.shape,
+                              data_shards=shards):
                 spec0 = self.layers[0]
                 p0 = params[spec0.name]
                 st0 = batch_stats[spec0.name]
                 n = x.shape[0] * x.shape[1] * x.shape[2]
-                x, bm, bv = stem_conv_bn_pool_train(
-                    x, p0["w"], p0["scale"], p0["bias"])
+                if stem_mesh is not None:
+                    x, bm, bv = stem_conv_bn_pool_train_sharded(
+                        x, p0["w"], p0["scale"], p0["bias"], stem_mesh)
+                else:
+                    x, bm, bv = stem_conv_bn_pool_train(
+                        x, p0["w"], p0["scale"], p0["bias"])
                 nm, nv = L.running_stat_update(st0["mean"], st0["var"],
                                                bm, bv, n)
                 new_stats[spec0.name] = {"mean": nm, "var": nv}

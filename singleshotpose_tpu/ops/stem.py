@@ -50,7 +50,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-__all__ = ["stem_supported", "stem_conv_bn_pool_train"]
+__all__ = ["stem_supported", "stem_conv_bn_pool_train",
+           "stem_conv_bn_pool_train_sharded"]
 
 _PHASES = ((0, 0), (0, 1), (1, 0), (1, 1))  # pool window row-major (dy, dx)
 _TP = 16          # pooled rows per grid step; divides H/2 for all multiscale
@@ -63,14 +64,19 @@ _EPS = 1e-4       # models.layers.BN_EPS
 FORCE_INTERPRET = False
 
 
-def stem_supported(spec, compute_dtype, shape=None) -> bool:
+def stem_supported(spec, compute_dtype, shape=None, data_shards: int = 1
+                   ) -> bool:
     """True when ``spec``'s first two layers are the fusable stem pattern and
     the compute dtype is bf16 (the layout win assumes bf16 activations).
 
     ``shape``: optional input (B, H, W, C) — when given, also applies the
     measured batch gate (the stem wins only while C=32 pads the 128-lane
     axis, i.e. batch < 64; at batch 128 the batch dim fills the lanes and
-    the unfused path is faster) and the 32-multiple H/W requirement."""
+    the unfused path is faster) and the 32-multiple H/W requirement.
+    ``data_shards``: size of the mesh's data axis when the stem will run
+    under :func:`stem_conv_bn_pool_train_sharded` — the batch gate then
+    applies to the PER-DEVICE batch (each device runs the kernel on its
+    local shard), and the global batch must divide evenly."""
     from ..models.darknet import ConvSpec, MaxPoolSpec
     if compute_dtype != jnp.bfloat16:
         return False
@@ -78,7 +84,9 @@ def stem_supported(spec, compute_dtype, shape=None) -> bool:
         return False
     if shape is not None:
         B, H, W = shape[0], shape[1], shape[2]
-        if B >= 64 or H % 32 or W % 32:
+        if B % data_shards:
+            return False
+        if B // data_shards >= 64 or B < data_shards or H % 32 or W % 32:
             return False
     if len(spec.layers) < 2:
         return False
@@ -341,7 +349,8 @@ def _grid_specs(B: int, hp: int, wl2: int, TP: int):
     return grid, planes_spec, yph_spec, pooled_spec, vec_spec
 
 
-def _fwd_impl(planes, wmat, scale, bias, *, B, H, W, interpret=False):
+def _fwd_impl(planes, wmat, scale, bias, *, B, H, W, interpret=False,
+              axis_name=None):
     from jax.experimental.pallas import tpu as pltpu
     hp, wp, wl2 = _dims(H, W)
     grid, planes_spec, yph_spec, pooled_spec, vec_spec = \
@@ -359,6 +368,12 @@ def _fwd_impl(planes, wmat, scale, bias, *, B, H, W, interpret=False):
     )(planes, wmat)
 
     n = B * H * W
+    if axis_name is not None:
+        # sync-BN across the data axis: per-shard sum/sumsq partials psum to
+        # the global statistics (the unfused path gets the same semantics
+        # from GSPMD's reduction over the sharded batch axis)
+        stats = jax.lax.psum(stats, axis_name)
+        n = n * jax.lax.psum(1, axis_name)
     mean = stats[0] / n
     var = stats[1] / n - mean * mean
     inv = scale * jax.lax.rsqrt(var + _EPS)
@@ -376,7 +391,7 @@ def _fwd_impl(planes, wmat, scale, bias, *, B, H, W, interpret=False):
 
 
 def _bwd_impl(planes, yph, g_planar, scale, mean, var, inv, shift, *,
-              B, H, W, interpret=False):
+              B, H, W, interpret=False, axis_name=None):
     from jax.experimental.pallas import tpu as pltpu
     hp, wp, wl2 = _dims(H, W)
     grid, planes_spec, yph_spec, pooled_spec, vec_spec = \
@@ -394,11 +409,20 @@ def _bwd_impl(planes, yph, g_planar, scale, mean, var, inv, shift, *,
         scratch_shapes=[pltpu.VMEM((2, _CO), jnp.float32)],
         interpret=interpret,
     )(yph, g_planar, v(inv), v(shift), v(mean), v(rstd))
+    # LOCAL sums stay the returned cotangent contributions (shard_map's
+    # transpose psums the cotangents of replicated inputs); the GLOBAL sums
+    # feed c1/c2, which every shard must agree on (they divide by global n)
     sgz, sgx = sums[0], sums[1]
 
     n = B * H * W
-    c1 = inv * sgz / n
-    c2 = inv * sgx / n
+    if axis_name is not None:
+        gsums = jax.lax.psum(sums, axis_name)
+        n = n * jax.lax.psum(1, axis_name)
+        gsgz, gsgx = gsums[0], gsums[1]
+    else:
+        gsgz, gsgx = sgz, sgx
+    c1 = inv * gsgz / n
+    c2 = inv * gsgx / n
 
     dw_pad = pl.pallas_call(
         functools.partial(_b2_dw, TP=_TP, wp=wp, wl2=wl2),
@@ -423,25 +447,27 @@ def _bwd_impl(planes, yph, g_planar, scale, mean, var, inv, shift, *,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _stem_core(planes, w, scale, bias, B, H, W, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _stem_core(planes, w, scale, bias, B, H, W, interpret, axis_name):
     pooled, mean, var, _, _, _ = _fwd_impl(
-        planes, _wmat(w), scale, bias, B=B, H=H, W=W, interpret=interpret)
+        planes, _wmat(w), scale, bias, B=B, H=H, W=W, interpret=interpret,
+        axis_name=axis_name)
     return pooled, mean, var
 
 
-def _stem_core_fwd(planes, w, scale, bias, B, H, W, interpret):
+def _stem_core_fwd(planes, w, scale, bias, B, H, W, interpret, axis_name):
     pooled, mean, var, yph, inv, shift = _fwd_impl(
-        planes, _wmat(w), scale, bias, B=B, H=H, W=W, interpret=interpret)
+        planes, _wmat(w), scale, bias, B=B, H=H, W=W, interpret=interpret,
+        axis_name=axis_name)
     return (pooled, mean, var), (planes, yph, scale, mean, var, inv, shift)
 
 
-def _stem_core_bwd(B, H, W, interpret, res, cts):
+def _stem_core_bwd(B, H, W, interpret, axis_name, res, cts):
     planes, yph, scale, mean, var, inv, shift = res
     g_pooled, _g_mean, _g_var = cts   # batch stats feed running stats only
     dw, dscale, dbias = _bwd_impl(
         planes, yph, g_pooled.astype(jnp.bfloat16), scale, mean, var, inv,
-        shift, B=B, H=H, W=W, interpret=interpret)
+        shift, B=B, H=H, W=W, interpret=interpret, axis_name=axis_name)
     return jnp.zeros_like(planes), dw, dscale, dbias
 
 
@@ -453,13 +479,19 @@ _stem_core.defvjp(_stem_core_fwd, _stem_core_bwd)
 # ---------------------------------------------------------------------------
 
 
-def stem_conv_bn_pool_train(images, w, scale, bias, *, interpret=False):
+def stem_conv_bn_pool_train(images, w, scale, bias, *, interpret=False,
+                            axis_name=None):
     """Fused stem forward for training.
 
     Args:
       images: (B, H, W, 3) float32/bf16 in [0, 1] (normalized RGB).
       w: (3, 3, 3, 32) f32 HWIO conv weights.
       scale, bias: (32,) f32 BN affine parameters.
+      axis_name: set when called inside ``shard_map`` over a data axis
+        (see :func:`stem_conv_bn_pool_train_sharded`): the BN statistics
+        and the backward's c1/c2 reductions psum over it (sync-BN), while
+        the returned parameter cotangents stay per-shard (shard_map's
+        transpose psums replicated-input cotangents).
 
     Returns (pooled, batch_mean, batch_var_biased):
       pooled: (B, H//2, W//2, 32) bf16 — identical (up to f32 reduction
@@ -474,9 +506,35 @@ def stem_conv_bn_pool_train(images, w, scale, bias, *, interpret=False):
     hp, wp, wl2 = _dims(H, W)
     planes = _prep_planes(images)
     pooled_pl, mean, var = _stem_core(planes, w, scale, bias, B, H, W,
-                                      interpret or FORCE_INTERPRET)
+                                      interpret or FORCE_INTERPRET, axis_name)
     pooled = pooled_pl.reshape(B, _CO, hp, wl2)[:, :, :, :wp]
     return pooled.transpose(0, 2, 3, 1), mean, var
+
+
+def stem_conv_bn_pool_train_sharded(images, w, scale, bias, mesh, *,
+                                    interpret=False):
+    """:func:`stem_conv_bn_pool_train` under a ("data","model") mesh.
+
+    Mosaic custom calls have no GSPMD partitioning rule, so the bare kernel
+    inside pjit would force a full-batch gather onto every device.  The stem
+    is per-sample except for the BN statistics, so ``shard_map`` over the
+    mesh's ``data`` axis runs the kernels per-device on the local batch
+    shard, with one (2, 32) psum for the statistics (sync-BN — the same
+    semantics GSPMD gives the unfused path) and one in the backward for
+    c1/c2.  Parameters enter replicated (GSPMD all-gathers the tiny conv_1
+    shard when tensor parallelism shards it); their cotangents psum in the
+    shard_map transpose.  ``check_vma=False`` because the varying-axes
+    checker cannot see through the Mosaic custom call — same recipe as
+    ``ops/pallas_kernels.max_corner_confidence_sharded``.
+    """
+    from jax.sharding import PartitionSpec as P
+    fn = functools.partial(stem_conv_bn_pool_train, interpret=interpret,
+                           axis_name="data")
+    return jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P("data"), P(), P(), P()),
+        out_specs=(P("data"), P(), P()),
+        check_vma=False)(images, w, scale, bias)
 
 
 # ---------------------------------------------------------------------------

@@ -110,7 +110,8 @@ def make_train_step(net: DarknetSpec, loss_cfg: RegionLossConfig, *,
                     decay_bn_bias: bool = True,
                     donate: bool = True,
                     jit_compile: bool = True,
-                    fused_stem: bool = False):
+                    fused_stem: bool = False,
+                    stem_mesh=None):
     """Build the fused jitted train step.
 
     Returns ``step(state, images, target, lr, epoch) -> (state, stats)``.
@@ -118,7 +119,9 @@ def make_train_step(net: DarknetSpec, loss_cfg: RegionLossConfig, *,
     already-/batch_size effective learning rate (device scalar ok); ``epoch``
     scalar for the pretrain confidence gate.  ``jit_compile=False`` returns
     the raw traceable function (for embedding in an outer jitted program,
-    e.g. bench.py's on-device chained steps).
+    e.g. bench.py's on-device chained steps).  ``stem_mesh``: the training
+    mesh, when ``fused_stem`` should run under data-parallel sharding
+    (shard_map over the data axis — see ``ops/stem.py``).
     """
     def step(state: TrainState, images, target, lr, epoch):
         if jnp.issubdtype(images.dtype, jnp.integer):
@@ -130,7 +133,8 @@ def make_train_step(net: DarknetSpec, loss_cfg: RegionLossConfig, *,
             out, new_stats = net.apply(params, images,
                                        batch_stats=state.batch_stats,
                                        train=True, compute_dtype=compute_dtype,
-                                       fused_stem=fused_stem)
+                                       fused_stem=fused_stem,
+                                       stem_mesh=stem_mesh)
             loss, stats = region_loss(out, target, epoch, loss_cfg)
             return loss, (new_stats, stats)
 
