@@ -54,3 +54,84 @@ def test_global_batch_assembles_and_feeds_step():
                            momentum=0.9, compute_dtype=None, donate=False)
     state, stats = step(state, gi, gl, 1e-4, 100)
     assert np.isfinite(float(stats["loss"]))
+
+
+def test_two_real_processes_both_trainers(tmp_path):
+    """REAL multi-process multi-host: 2 jax.distributed processes (4 virtual
+    CPU devices each → an 8-device global dp=4 × mp=2 mesh) run the single
+    trainer (2 epochs + collective Orbax + resume) and the multi trainer
+    (1 epoch), then export darknet weights which this (single-process)
+    parent validates — the full train-on-a-pod / eval-anywhere loop.
+
+    Asserts: identical loss trajectories and bit-identical replicated state
+    across the two processes (gradient sync), global ``seen`` arithmetic
+    through resume, and the offline eval round-trip.
+    """
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    from test_drivers import TINY_CFG as SINGLE_CFG, _make_synthetic_linemod
+    from test_checkpoint import _make_synthetic_multi
+
+    # shared corpus: 16 single-object frames (batch 8 → local batch 4,
+    # 2 global batches/epoch) + an 8-frame multi corpus (batch 4)
+    datacfg, _backup = _make_synthetic_linemod(tmp_path, n=16)
+    assert datacfg == str(tmp_path / "synth.data")
+    (tmp_path / "tiny.cfg").write_text(
+        SINGLE_CFG.replace("batch=2", "batch=8"))
+    _make_synthetic_multi(tmp_path, n=8, batch=4)
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(i), "2", str(port), str(tmp_path)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env={k: v for k, v in os.environ.items()
+             if k not in ("JAX_PLATFORMS", "XLA_FLAGS")})
+        for i in range(2)]
+    outs = []
+    try:
+        for i, p in enumerate(procs):
+            out, _ = p.communicate(timeout=900)
+            outs.append(out)
+            assert p.returncode == 0, f"worker {i} failed:\n{out[-4000:]}"
+            assert f"WORKER_{i}_OK" in out
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+
+    r0 = json.loads((tmp_path / "result_0.json").read_text())
+    r1 = json.loads((tmp_path / "result_1.json").read_text())
+
+    # the eval skip gate fired (in-training eval is offline under multi-host)
+    assert "skipping in-training eval under multi-host mesh" in outs[0]
+
+    # cross-process agreement: every host observed the same losses and holds
+    # bit-identical replicated state (the gradient all-reduce synced them)
+    assert r0 == r1
+    assert len(r0["single_losses"]) == 4          # 2 epochs × 2 global batches
+    assert np.isfinite(r0["single_losses"]).all()
+    assert r0["single_seen"] == 32                # 2 epochs × 16 samples
+    assert len(r0["resume_losses"]) == 2          # epoch 2 only (resumed)
+    assert r0["resume_seen"] == 48                # 3 epochs × 16
+    assert r0["resume_fp"] != r0["single_fp"]     # training continued
+    assert len(r0["multi_losses"]) == 2           # 1 epoch × 2 global batches
+    assert np.isfinite(r0["multi_losses"]).all()
+    assert r0["multi_seen"] == 8                  # 1 epoch × 8 scenes
+
+    # offline eval round-trip: weights written from the multi-host run are
+    # a valid darknet checkpoint for single-process validation
+    from singleshotpose_tpu.drivers import run_validation
+    summary = run_validation(datacfg, str(tmp_path / "tiny.cfg"),
+                             str(tmp_path / "final.weights"),
+                             batch_size=4, num_workers=0,
+                             compute_dtype=None, verbose=False)
+    assert summary["n_samples"] == 16
+    assert np.isfinite(summary["mean_err_2d"])
