@@ -363,20 +363,24 @@ def _fake_scene_bank(nf: int = 30):
     return bank, N
 
 
-def bench_synth_scenes(batch: int = 32, iters: int = 12, nf: int = 30):
+def bench_synth_scenes(batch: int = 32, iters: int = 12, nf: int = 30,
+                       attempts: int = None):
     """On-device multi-object scene synthesis throughput (scenes/s).
 
     Times ``data/device_synth._synthesize_one`` vmapped over a batch at 416²
     on a fabricated LINEMOD-scale bank, chained on-device (iteration i+1's
     indices consume iteration i's pixels so nothing hoists).  Replaces the
     host path's per-scene decode+paste loop (reference
-    ``image_multi.py:299-383``).
+    ``image_multi.py:299-383``).  ``attempts=None`` → the placement-parity
+    default (host drop law, attempts=30); pass 6 for the throughput-tuned
+    config (measured table in device_synth.py's docstring).
     """
     from singleshotpose_tpu.data.device_synth import (DeviceSynthStatic,
                                                       _synthesize_one)
 
     bank, N = _fake_scene_bank(nf)
-    st = DeviceSynthStatic(propose_scale=4)
+    st = DeviceSynthStatic(propose_scale=4) if attempts is None else \
+        DeviceSynthStatic(propose_scale=4, attempts=attempts)
 
     @partial(jax.jit, static_argnames=("iters",))
     def chained(bank, base0, key, iters):
@@ -421,7 +425,7 @@ def bench_train_multi_e2e(batch: int = 32, iters: int = 8, nf: int = 30):
     from singleshotpose_tpu.zoo import yolo_pose_multi
 
     bank, N = _fake_scene_bank(nf)
-    st = DeviceSynthStatic(propose_scale=4)
+    st = DeviceSynthStatic(propose_scale=4)   # parity-default attempts (30)
     net = yolo_pose_multi()
     state = init_train_state(*net.init_params(jax.random.PRNGKey(0)))
     loss_cfg = loss_config_from_spec(net, pretrain_num_epochs=0,
@@ -675,7 +679,7 @@ def _run_synth_group(scale: str = "full") -> dict:
     to burn on a fragile worker."""
     if scale == "probe":
         return {"synth_probe_scenes_per_sec": round(
-            bench_synth_scenes(batch=2, iters=2, nf=2), 1)}
+            bench_synth_scenes(batch=2, iters=2, nf=2, attempts=6), 1)}
     if scale == "small":
         return {
             "synth_scenes_per_sec": round(
@@ -684,6 +688,8 @@ def _run_synth_group(scale: str = "full") -> dict:
                 bench_train_multi_e2e(batch=16, iters=6, nf=8), 1),
         }
     return {"synth_scenes_per_sec": round(bench_synth_scenes(), 1),
+            "synth_scenes_per_sec_a6": round(
+                bench_synth_scenes(attempts=6), 1),
             "train_multi_e2e_sps": round(bench_train_multi_e2e(), 1)}
 
 

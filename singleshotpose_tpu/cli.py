@@ -62,6 +62,15 @@ def _add_train_run_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--precompile_buckets", action="store_true",
                    help="compile every multi-scale bucket before epoch 0 "
                         "(no mid-epoch XLA compile stalls)")
+    p.add_argument("--synth_attempts", type=int, default=None,
+                   help="device_synth: parallel placement proposals per "
+                        "companion (default: the host synthesizer's "
+                        "max_attempts, exact drop-law parity; lower = "
+                        "faster, fewer objects in crowded scenes)")
+    p.add_argument("--synth_propose_scale", type=int, default=4,
+                   help="device_synth: mask-overlap test resolution "
+                        "divisor (4 = measured distribution-neutral at "
+                        "~2x throughput; 1 = host's full-res ratio)")
 
 
 def _mesh_from_dp(dp: int):
@@ -79,7 +88,9 @@ def _run_config_from_args(args, **overrides):
               resume=args.resume, profile_dir=args.profile_dir,
               cache_decoded=args.cache_decoded,
               loader_backend=args.loader_backend,
-              precompile_buckets=args.precompile_buckets)
+              precompile_buckets=args.precompile_buckets,
+              synth_attempts=args.synth_attempts,
+              synth_propose_scale=args.synth_propose_scale)
     kw.update(overrides)
     return TrainRunConfig(**kw)
 

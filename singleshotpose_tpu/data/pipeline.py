@@ -278,7 +278,8 @@ class Loader:
                  num_workers: int = 8, seed: int = 0,
                  drop_last: bool = True, backend: str = "auto",
                  out_uint8: bool = False, out_yuv420: bool = False,
-                 mesh=None):
+                 mesh=None, synth_attempts: Optional[int] = None,
+                 synth_propose_scale: int = 4):
         self.ds = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -325,6 +326,10 @@ class Loader:
                     "MultiObjectSynthesizer (its SynthConfig seeds the bank)")
             self._device_synth = True
             self._synth_bank = None
+            # placement-parity/throughput knobs (device_synth.py docstring
+            # has the measured table; None → host max_attempts drop law)
+            self._synth_attempts = synth_attempts
+            self._synth_propose_scale = synth_propose_scale
             # synthesis is one jitted device call — no host worker threads
             if self.pool is not None:
                 self.pool.shutdown(wait=False)
@@ -447,7 +452,9 @@ class Loader:
             else:
                 bank = bank.device_put()
             self._synth_bank = bank
-            self._synth_static = DS.DeviceSynthStatic.from_config(scfg)
+            self._synth_static = DS.DeviceSynthStatic.from_config(
+                scfg, attempts=self._synth_attempts,
+                propose_scale=self._synth_propose_scale)
             print(f"device_synth bank: {self._synth_bank.images.shape[0]} "
                 f"frames, {self._synth_bank.nbytes() / 1e6:.0f} MB in HBM "
                 f"({time.time() - t0:.1f}s to build)")

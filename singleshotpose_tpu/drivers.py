@@ -530,6 +530,13 @@ class TrainRunConfig:
     # mesh it runs as a shard_map over the data axis with psum'd BN stats
     # (per-device batch gate in stem_supported).
     fused_stem: Optional[bool] = None
+    # device_synth placement knobs (multi trainer, loader_backend=
+    # "device_synth"): parallel proposals per companion (None → the host
+    # synthesizer's max_attempts, exact drop-law parity; lower = faster,
+    # fewer objects in crowded scenes) and the mask-overlap test resolution
+    # divisor (4 = measured distribution-neutral at ~2x throughput)
+    synth_attempts: Optional[int] = None
+    synth_propose_scale: int = 4
 
 
 
@@ -939,7 +946,9 @@ def run_training_multi(datacfg: str, modelcfg: Union[str, DarknetSpec],
     loader = Loader(ds, loader_batch, schedule=MULTI_SCHEDULE, seen=seen0,
                     num_workers=rc.num_workers, seed=rc.seed,
                     backend=multi_backend, out_uint8=not on_device,
-                    mesh=rc.mesh if on_device else None)
+                    mesh=rc.mesh if on_device else None,
+                    synth_attempts=rc.synth_attempts,
+                    synth_propose_scale=rc.synth_propose_scale)
     if rc.precompile_buckets:
         _precompile_buckets(step, state, MULTI_SCHEDULE.all_widths,
                             loader_batch, 50 * (2 * spec.num_keypoints + 3),

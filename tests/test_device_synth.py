@@ -299,3 +299,135 @@ def test_loader_device_synth_requires_synthesizer(tmp_path):
     ds = PoseDataset(str(listfile), train=True)
     with pytest.raises(ValueError, match="device_synth"):
         Loader(ds, batch_size=1, num_workers=0, backend="device_synth")
+
+
+@pytest.fixture
+def crowded_linemod(tmp_path):
+    """Small-frame (160x120) crowded corpus: 5 objects x 4 frames with big
+    masks, so companion placements collide often and the drop law matters."""
+    from PIL import Image
+    from singleshotpose_tpu.data.synth_multi import OCCLUSION_CLASSES
+    rng = np.random.RandomState(3)
+    root = tmp_path / "LINEMOD"
+    objs = OCCLUSION_CLASSES[:5]
+    for oi, obj in enumerate(objs):
+        base = root / obj
+        for d in ("JPEGImages", "mask", "labels"):
+            (base / d).mkdir(parents=True)
+        paths = []
+        for i in range(4):
+            img = rng.randint(0, 255, (120, 160, 3), np.uint8)
+            m = np.zeros((120, 160), np.uint8)
+            hw, hh = rng.randint(25, 45), rng.randint(20, 38)
+            cx = rng.randint(hw, 160 - hw)
+            cy = rng.randint(hh, 120 - hh)
+            m[cy - hh:cy + hh, cx - hw:cx + hw] = 255
+            name = f"00{i:04d}"
+            Image.fromarray(img).save(base / "JPEGImages" / f"{name}.jpg")
+            Image.fromarray(m).save(base / "mask" / f"{name[2:]}.png")
+            lab = np.zeros(21, np.float32)
+            lab[0] = oi
+            lab[1:19:2] = np.clip(cx / 160.0 + rng.uniform(-0.1, 0.1, 9),
+                                  0, 1)
+            lab[2:19:2] = np.clip(cy / 120.0 + rng.uniform(-0.1, 0.1, 9),
+                                  0, 1)
+            lab[19:21] = [2 * hw / 160.0, 2 * hh / 120.0]
+            np.savetxt(base / "labels" / f"{name}.txt", lab[None])
+            paths.append(f"LINEMOD/{obj}/JPEGImages/{name}.jpg")
+        (base / "train.txt").write_text("\n".join(paths) + "\n")
+
+    import singleshotpose_tpu.data.synth_multi as sm
+    orig = sm.ADD_OBJS
+    sm.ADD_OBJS = dict(orig)
+    sm.ADD_OBJS[objs[0]] = tuple(objs[1:])   # 4 companions for the base obj
+    yield str(root), objs
+    sm.ADD_OBJS = orig
+
+
+def _objs_per_scene(labels, nl=NL):
+    rows = np.asarray(labels).reshape(np.asarray(labels).shape[0], -1, nl)
+    return (np.abs(rows[:, :, 1:]).sum(-1) > 0).sum(-1)
+
+
+def test_placement_distribution_matches_host(crowded_linemod, tmp_path):
+    """Objects-per-scene distribution: device path at the parity default
+    (attempts == host max_attempts) matches the host synthesizer's mean
+    within noise, while a low-attempts config measurably under-places —
+    the documented divergence the default now avoids.  (TPU-v5e evidence
+    at full scale is in device_synth.py's docstring table: host 5.94
+    obj/scene vs device 6.01 at attempts=30, 5.10 at attempts=6.)
+    """
+    import jax.numpy as jnp
+    from singleshotpose_tpu.data.pipeline import PoseDataset
+    from singleshotpose_tpu.data.synth_multi import MultiObjectSynthesizer
+
+    lm_root, objs = crowded_linemod
+    N = 64
+    lines = [os.path.join(lm_root, objs[0], "JPEGImages", f"00{i:04d}.jpg")
+             for i in range(4)]
+    listfile = tmp_path / "base.txt"
+    listfile.write_text("\n".join(lines) + "\n")
+
+    cfg = SynthConfig(linemod_root=lm_root)
+    synth = MultiObjectSynthesizer(cfg)
+    ds = PoseDataset(str(listfile), train=True, synthesizer=synth,
+                     cache_decoded=True)
+    rng = np.random.RandomState(11)
+    host_counts = []
+    for i in range(N):
+        _, lab = synth(ds, lines[i % 4], (96, 96), rng)
+        host_counts.append(
+            (np.abs(np.asarray(lab).reshape(-1, NL)[:, 1:]).sum(-1) > 0)
+            .sum())
+    host_mean = float(np.mean(host_counts))
+    assert host_mean > 2.5   # the corpus must actually be crowded
+
+    bank = build_scene_bank(cfg, lines).device_put()
+
+    def device_mean(attempts):
+        st = DeviceSynthStatic.from_config(cfg, attempts=attempts)
+        counts = []
+        key = jax.random.PRNGKey(5)
+        for i in range(N // 16):
+            key, k = jax.random.split(key)
+            idx = jnp.asarray((np.arange(16) + i * 16) % 4, jnp.int32)
+            _, labels = synthesize_batch(bank, idx, k, out_w=96, out_h=96,
+                                         st=st)
+            counts.append(_objs_per_scene(labels))
+        return float(np.concatenate(counts).mean())
+
+    parity = device_mean(None)       # None → cfg.max_attempts (30)
+    starved = device_mean(1)
+    assert abs(parity - host_mean) < 0.5, (parity, host_mean)
+    # sensitivity: 1 attempt must visibly under-place vs the parity default
+    assert parity - starved > 0.5, (parity, starved)
+
+
+def test_from_config_attempts_defaults_to_max_attempts():
+    cfg = SynthConfig(linemod_root="/nonexistent", max_attempts=17)
+    st = DeviceSynthStatic.from_config(cfg)
+    assert st.attempts == 17
+    assert DeviceSynthStatic.from_config(cfg, attempts=4).attempts == 4
+
+
+def test_loader_threads_synth_knobs(fake_linemod, small_companions,
+                                    tmp_path):
+    """Loader(synth_attempts=, synth_propose_scale=) reach the static
+    config that compiles the device program."""
+    from singleshotpose_tpu.data.pipeline import (AugmentConfig, Loader,
+                                                  PoseDataset)
+    from singleshotpose_tpu.data.synth_multi import MultiObjectSynthesizer
+
+    synth = MultiObjectSynthesizer(
+        SynthConfig(linemod_root=fake_linemod, shift=10))
+    listfile = tmp_path / "tr.txt"
+    listfile.write_text(os.path.join(
+        fake_linemod, "ape/JPEGImages/000000.jpg") + "\n")
+    ds = PoseDataset(str(listfile), train=True, aug=AugmentConfig.multi(),
+                     synthesizer=synth)
+    ld = Loader(ds, batch_size=1, fixed_shape=(64, 64), num_workers=0,
+                seed=0, backend="device_synth", synth_attempts=2,
+                synth_propose_scale=2)
+    next(iter(ld))
+    assert ld._synth_static.attempts == 2
+    assert ld._synth_static.propose_scale == 2
