@@ -20,6 +20,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: the heavy suites (full-net dryruns, mesh train
+# steps) compile identical programs every run; cached, repeat runs of the
+# suite cut minutes of XLA:CPU compile time
+os.makedirs("/tmp/ssp_jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/ssp_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import pytest  # noqa: E402
 
