@@ -778,9 +778,12 @@ def bench_int8_acc(n_train: int = 192, n_eval: int = 64,
 
 def bench_eval_e2e():
     """End-to-end eval fps: JPEG decode → h2d → forward+decode → batched PnP
-    → metric suite (``run_validation`` equivalent), warm pass, for both
-    transfer modes: "rgb" (u8 at eval size) and "yuv420" (native-size 4:2:0
-    planes converted + resized on device — the transfer-optimal path)."""
+    → metric suite (``run_validation`` equivalent), warm pass, for three
+    transfer modes: "rgb" (u8 at eval size), "yuv420" (native-size 4:2:0
+    planes converted + resized on device — fewest bytes per frame), and
+    "bank" (split decoded once into HBM — the steady-state in-training-eval
+    cadence, zero per-frame link traffic, so the number is link-insensitive).
+    """
     from singleshotpose_tpu.drivers import run_validation
     from singleshotpose_tpu.zoo import yolo_pose_single
 
@@ -791,7 +794,7 @@ def bench_eval_e2e():
     kw = dict(params=params, batch_stats=bstats, batch_size=EVAL_BATCH,
               num_workers=2, verbose=False)
     fps = {}
-    for transfer in ("rgb", "yuv420"):
+    for transfer in ("rgb", "yuv420", "bank"):
         try:
             run_validation(datacfg, net, transfer=transfer, **kw)  # warm
             times = []
@@ -803,7 +806,29 @@ def bench_eval_e2e():
             fps[transfer] = EVAL_FRAMES / sorted(times)[1]
         except (RuntimeError, OSError):
             fps[transfer] = None    # native loader unavailable
+    from singleshotpose_tpu.data import eval_bank
+    eval_bank.clear_cache()         # release the bank's HBM for later benches
     return fps
+
+
+def bench_link(mb: int = 64, iters: int = 5):
+    """Measured host↔device link throughput (MB/s), h2d and d2h.
+
+    Published next to the e2e eval fps so that number is interpretable: eval
+    through a shared tunnel moves with link load (BENCH_r02's 30.9 fps vs a
+    73-fps quiet-link run was entirely link).  64 MB ≈ one 48×672² u8 eval
+    batch.  Median of ``iters``."""
+    buf = np.zeros((mb, 1 << 20), np.uint8)
+    jax.block_until_ready(jax.device_put(buf))          # warm path/alloc
+    h2d, d2h = [], []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        dev = jax.block_until_ready(jax.device_put(buf))
+        h2d.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        np.asarray(dev)
+        d2h.append(time.perf_counter() - t0)
+    return mb / sorted(h2d)[len(h2d) // 2], mb / sorted(d2h)[len(d2h) // 2]
 
 
 def _run_synth_group(scale: str = "full") -> dict:
@@ -980,6 +1005,12 @@ def main():
             if eval_fps["rgb"] else None
         extra["eval_e2e_fps_yuv420"] = round(eval_fps["yuv420"], 1) \
             if eval_fps["yuv420"] else None
+        extra["eval_e2e_fps_bank"] = round(eval_fps["bank"], 1) \
+            if eval_fps.get("bank") else None
+        # link context: rgb/yuv420 e2e move with tunnel load; bank does not
+        h2d, d2h = bench_link()
+        extra["link_h2d_MBps"] = round(h2d, 1)
+        extra["link_d2h_MBps"] = round(d2h, 1)
     if args.only in (None, "int8acc"):
         try:
             extra.update(bench_int8_acc())

@@ -71,6 +71,12 @@ def _add_train_run_flags(p: argparse.ArgumentParser) -> None:
                    help="device_synth: mask-overlap test resolution "
                         "divisor (4 = measured distribution-neutral at "
                         "~2x throughput; 1 = host's full-res ratio)")
+    p.add_argument("--eval_transfer", type=str, default="rgb",
+                   choices=["rgb", "yuv420", "bank"],
+                   help="in-training eval input path: rgb u8 batches, "
+                        "yuv420 native-size planes (device converts), or "
+                        "bank (test split decoded once into HBM — every "
+                        "eval epoch after the first is link-free)")
 
 
 def _mesh_from_dp(dp: int):
@@ -90,7 +96,8 @@ def _run_config_from_args(args, **overrides):
               loader_backend=args.loader_backend,
               precompile_buckets=args.precompile_buckets,
               synth_attempts=args.synth_attempts,
-              synth_propose_scale=args.synth_propose_scale)
+              synth_propose_scale=args.synth_propose_scale,
+              eval_transfer=args.eval_transfer)
     kw.update(overrides)
     return TrainRunConfig(**kw)
 
@@ -168,6 +175,12 @@ def cmd_valid(argv: Sequence[str]) -> int:
                         "serve a pre-quantized artifact")
     p.add_argument("--dp", type=int, default=0,
                    help="shard eval batches over N devices (0 = single)")
+    p.add_argument("--transfer", type=str, default="rgb",
+                   choices=["rgb", "yuv420", "bank"],
+                   help="input path: rgb u8 batches, yuv420 native-size "
+                        "planes (device converts; fewest h2d bytes), or "
+                        "bank (split decoded once into HBM; repeated evals "
+                        "are link-free)")
     args = p.parse_args(argv)
     _require_file(args.datacfg, "data config")
     if isinstance(args.quantize, str):
@@ -175,10 +188,11 @@ def cmd_valid(argv: Sequence[str]) -> int:
 
     from .drivers import run_validation
     spec = _resolve_model(args.modelcfg)
+    kw = dict(save=args.save, quantize=args.quantize,
+              transfer=args.transfer, mesh=_mesh_from_dp(args.dp))
     if isinstance(args.quantize, str):
         # pre-quantized .npz IS the serving artifact: no f32 weights needed
-        run_validation(args.datacfg, spec, None, save=args.save,
-                       quantize=args.quantize, mesh=_mesh_from_dp(args.dp))
+        run_validation(args.datacfg, spec, None, **kw)
     elif args.orbax_dir:
         from .checkpoint import OrbaxCheckpointer
         ckpt = OrbaxCheckpointer(args.orbax_dir)
@@ -186,12 +200,10 @@ def cmd_valid(argv: Sequence[str]) -> int:
         ckpt.close()
         print(f"evaluating Orbax checkpoint step {step} from {args.orbax_dir}")
         run_validation(args.datacfg, spec, params=state.params,
-                       batch_stats=state.batch_stats, save=args.save,
-                       quantize=args.quantize, mesh=_mesh_from_dp(args.dp))
+                       batch_stats=state.batch_stats, **kw)
     else:
         _require_file(args.weightfile, "weight file")
-        run_validation(args.datacfg, spec, args.weightfile, save=args.save,
-                       quantize=args.quantize, mesh=_mesh_from_dp(args.dp))
+        run_validation(args.datacfg, spec, args.weightfile, **kw)
     return 0
 
 

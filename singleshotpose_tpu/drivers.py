@@ -236,6 +236,10 @@ def _eval_pass(spec: DarknetSpec, params, batch_stats, loader: Loader,
                                   folded_param_shardings(spec, mesh))
 
         def _shard(a):
+            if isinstance(a, jax.Array):
+                # already device-resident (EvalBank slices carry their mesh
+                # sharding from the bank's (None, "data") placement)
+                return a
             a = np.asarray(a)
             if a.shape[0] % dp:                 # zero-pad the ragged tail
                 pad = (-a.shape[0]) % dp
@@ -309,6 +313,11 @@ def run_validation(datacfg: str, modelcfg: Union[str, DarknetSpec],
     native-size YUV 4:2:0 planes and converts + resizes on device — ≥2.9×
     fewer host→device bytes (needs the native loader; input pixels differ
     from the RGB path by the chroma round-trip, ≲2 u8 levels).
+    ``transfer="bank"`` decodes the split ONCE into an HBM-resident eval
+    bank (``data/eval_bank.py``, LRU-cached across calls): repeated evals —
+    the in-training cadence, reference ``train.py:395`` — then run with zero
+    host decode and zero per-frame transfer, so throughput is
+    link-insensitive; pixels are bit-identical to the rgb path.
     ``quantize=True`` serves the backbone convs in int8 (per-channel weights,
     first-batch-calibrated activation scales — models/quantize.py), the
     MXU's 2× throughput mode.  ``mesh``: a ("data","model") Mesh for
@@ -327,10 +336,19 @@ def run_validation(datacfg: str, modelcfg: Union[str, DarknetSpec],
     ds = PoseDataset(dcfg.valid, train=False,
                      num_keypoints=spec.num_keypoints)
     out_shape = (spec.net.test_width, spec.net.test_height)
-    loader = Loader(ds, batch_size, shuffle=False, schedule=None,
-                    fixed_shape=out_shape,
-                    num_workers=num_workers, drop_last=False, out_uint8=True,
-                    out_yuv420=transfer == "yuv420")
+    if transfer == "bank":
+        from .data.eval_bank import get_eval_bank
+        loader = get_eval_bank(
+            ds, out_shape, batch_size, num_workers=num_workers, mesh=mesh,
+            cache_key=("single", dcfg.valid, out_shape, batch_size,
+                       spec.num_keypoints, id(mesh) if mesh else None))
+        fwd_transfer = "rgb"        # bank slices ARE eval-size u8 rgb
+    else:
+        loader = Loader(ds, batch_size, shuffle=False, schedule=None,
+                        fixed_shape=out_shape,
+                        num_workers=num_workers, drop_last=False,
+                        out_uint8=True, out_yuv420=transfer == "yuv420")
+        fwd_transfer = transfer
 
     if verbose:
         _log(f"   Testing {dcfg.name}...")
@@ -338,7 +356,8 @@ def run_validation(datacfg: str, modelcfg: Union[str, DarknetSpec],
     errors, artifacts = _eval_pass(
         spec, params, batch_stats, loader, ctx, pick=("best",),
         num_keypoints=spec.num_keypoints, compute_dtype=compute_dtype,
-        transfer=transfer, out_shape=out_shape, quantize=quantize, mesh=mesh)
+        transfer=fwd_transfer, out_shape=out_shape, quantize=quantize,
+        mesh=mesh)
     summary = accuracy_summary(errors, ctx.diam)
     if save and artifacts:
         _save_predictions(dcfg, ds, artifacts)
@@ -452,10 +471,21 @@ def run_validation_multi(datacfg: Union[str, DataConfig],
     # multi eval runs at the TRAIN resolution (reference valid_multi.py:71
     # uses shape=(model.width, model.height), not test_width)
     out_shape = (spec.net.width, spec.net.height)
-    loader = Loader(ds, batch_size, shuffle=False, schedule=None,
-                    fixed_shape=out_shape,
-                    num_workers=num_workers, drop_last=False, out_uint8=True,
-                    out_yuv420=transfer == "yuv420")
+    if transfer == "bank":
+        from .data.eval_bank import get_eval_bank
+        # key includes the object name: the sweep reuses OCCLUSION frames
+        # under per-object label files (occlusion_label_path above)
+        loader = get_eval_bank(
+            ds, out_shape, batch_size, num_workers=num_workers, mesh=mesh,
+            cache_key=("multi", dcfg.valid, name, out_shape, batch_size,
+                       spec.num_keypoints, id(mesh) if mesh else None))
+        fwd_transfer = "rgb"
+    else:
+        loader = Loader(ds, batch_size, shuffle=False, schedule=None,
+                        fixed_shape=out_shape,
+                        num_workers=num_workers, drop_last=False,
+                        out_uint8=True, out_yuv420=transfer == "yuv420")
+        fwd_transfer = transfer
 
     # class_id set → the best box of THAT class per image; otherwise
     # per-class boxes and each GT pairs with the box of its OWN class
@@ -469,8 +499,8 @@ def run_validation_multi(datacfg: Union[str, DataConfig],
     errors, _artifacts = _eval_pass(
         spec, params, batch_stats, loader, ctx, pick=pick,
         num_keypoints=spec.num_keypoints, fix_gt_corners=True,
-        compute_dtype=compute_dtype, transfer=transfer, out_shape=out_shape,
-        quantize=quantize, mesh=mesh)
+        compute_dtype=compute_dtype, transfer=fwd_transfer,
+        out_shape=out_shape, quantize=quantize, mesh=mesh)
     table = multi_accuracy_table(errors.errs_2d)
     if verbose:
         for th, acc in table.items():
@@ -522,6 +552,10 @@ class TrainRunConfig:
     profile_dir: Optional[str] = None  # jax.profiler trace of a few steps
     profile_steps: Tuple[int, int] = (5, 10)
     cache_decoded: bool = False        # RAM-cache decoded images across epochs
+    # in-training eval transfer mode: "rgb" | "yuv420" | "bank".  "bank"
+    # decodes the test split once into HBM (data/eval_bank.py) — every eval
+    # epoch after the first runs with zero host decode / per-frame transfer
+    eval_transfer: str = "rgb"
     loader_backend: str = "auto"  # auto|python|native|device|device_bank
     #                               (multi: auto|python|device_synth)
     precompile_buckets: bool = False   # pre-pay multi-scale XLA compiles
@@ -811,7 +845,7 @@ def _train_epochs(spec, state_box, loader, step, net, steps, scales,
                 datacfg, spec, params=state.params,
                 batch_stats=state.batch_stats,
                 batch_size=rc.eval_batch_size, num_workers=rc.num_workers,
-                compute_dtype=rc.compute_dtype,
+                compute_dtype=rc.compute_dtype, transfer=rc.eval_transfer,
                 mesh=rc.mesh)   # sharded training → eval batches shard too
             acc = summary[rc.save_best_metric]
             history["testing_iters"].append(processed_batches)
@@ -1017,7 +1051,7 @@ def _multi_epoch_body(epoch, spec, state_box, loader, step, net, steps,
                 batch_stats=state.batch_stats,
                 batch_size=rc.eval_batch_size,
                 num_workers=rc.num_workers,
-                compute_dtype=rc.compute_dtype,
+                compute_dtype=rc.compute_dtype, transfer=rc.eval_transfer,
                 mesh=rc.mesh)   # sharded training → eval batches shard too
             accs.append(res["acc_table"][50])   # reference records acc@50
         mean_acc = float(np.mean(accs)) if accs else float("nan")

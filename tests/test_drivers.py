@@ -279,3 +279,86 @@ def test_quantize_cli_artifact_roundtrip(synth, tmp_path, capsys):
     for k in live:
         np.testing.assert_allclose(from_npz[k], live[k], rtol=1e-4,
                                    atol=1e-5, err_msg=k)
+
+
+def test_eval_bank_matches_rgb_and_caches(synth, monkeypatch):
+    """transfer="bank" (HBM-resident split, data/eval_bank.py) reproduces the
+    rgb path: the bank stores the exact u8 pixels rgb would ship (only the
+    padded tail batch runs a different-shaped executable, so floats can
+    differ at rounding level).  The second call must reuse the cached bank
+    instead of re-decoding."""
+    import singleshotpose_tpu.data.eval_bank as EB
+
+    datacfg, cfgfile, _ = synth
+    spec = DarknetSpec(parse_cfg(cfgfile))
+    params, bstats = spec.init_params(jax.random.PRNGKey(5))
+    kw = dict(params=params, batch_stats=bstats, batch_size=4,
+              num_workers=0, compute_dtype=None, verbose=False)
+
+    EB.clear_cache()
+    builds = []
+    real_build = EB.build_eval_bank
+    monkeypatch.setattr(EB, "build_eval_bank",
+                        lambda *a, **k: builds.append(1) or real_build(*a, **k))
+
+    base = run_validation(datacfg, spec, transfer="rgb", **kw)
+    banked = run_validation(datacfg, spec, transfer="bank", **kw)
+    assert banked["n_samples"] == base["n_samples"] == 6
+    for k in base:
+        np.testing.assert_allclose(banked[k], base[k], rtol=1e-6, atol=1e-5,
+                                   err_msg=k)
+
+    banked2 = run_validation(datacfg, spec, transfer="bank", **kw)
+    assert len(builds) == 1            # LRU hit: split decoded exactly once
+    for k in base:
+        np.testing.assert_allclose(banked2[k], banked[k], rtol=0, atol=0,
+                                   err_msg=k)
+    EB.clear_cache()
+
+
+def test_eval_bank_sharded_matches_single_device(synth):
+    """transfer="bank" under an 8-device ("data","model") mesh: the bank
+    places batches sharded over the data axis (P(None, "data")) and matches
+    the unsharded bank run (batch 4 over dp=4; 6 frames pad to 2 full
+    batches inside the bank)."""
+    import singleshotpose_tpu.data.eval_bank as EB
+    from singleshotpose_tpu.parallel.sharding import make_mesh
+
+    datacfg, cfgfile, _ = synth
+    spec = DarknetSpec(parse_cfg(cfgfile))
+    params, bstats = spec.init_params(jax.random.PRNGKey(5))
+    kw = dict(params=params, batch_stats=bstats, batch_size=4,
+              num_workers=0, compute_dtype=None, verbose=False,
+              transfer="bank")
+
+    EB.clear_cache()
+    base = run_validation(datacfg, spec, **kw)
+    mesh = make_mesh(jax.devices()[:8], mp=2)      # dp=4, mp=2
+    sharded = run_validation(datacfg, spec, mesh=mesh, **kw)
+    assert sharded["n_samples"] == base["n_samples"] == 6
+    for k in base:
+        np.testing.assert_allclose(sharded[k], base[k], rtol=1e-4, atol=1e-5,
+                                   err_msg=k)
+    EB.clear_cache()
+
+
+def test_eval_bank_quantized(synth):
+    """quantize=True composes with transfer="bank" (calibration consumes the
+    first bank batch; the chained iterator must not double-run it)."""
+    import singleshotpose_tpu.data.eval_bank as EB
+
+    datacfg, cfgfile, _ = synth
+    spec = DarknetSpec(parse_cfg(cfgfile))
+    params, bstats = spec.init_params(jax.random.PRNGKey(5))
+    kw = dict(params=params, batch_stats=bstats, batch_size=6,
+              num_workers=0, compute_dtype=None, verbose=False,
+              quantize=True)
+
+    EB.clear_cache()
+    base = run_validation(datacfg, spec, transfer="rgb", **kw)
+    banked = run_validation(datacfg, spec, transfer="bank", **kw)
+    assert banked["n_samples"] == 6
+    for k in base:
+        np.testing.assert_allclose(banked[k], base[k], rtol=1e-4, atol=1e-5,
+                                   err_msg=k)
+    EB.clear_cache()
