@@ -88,7 +88,7 @@ def _model_flops_per_frame(net, size: int) -> float:
     return flops
 
 
-def bench_infer(quantize: bool = False):
+def bench_infer(quantize: bool = False, batch: int = None):
     """Single-chip 416² inference fps incl. grid decode.
 
     ``quantize=False``: bf16, BN folded. ``quantize=True``: the int8 serving
@@ -96,6 +96,9 @@ def bench_infer(quantize: bool = False):
     activation scales, int32 MXU accumulation (v5e runs int8 at 2× bf16 peak;
     pose-metric parity on trained nets is validated by
     ``examples/overfit_validation.py --quantize``).
+    ``batch=1`` measures the serving-latency regime (the reference's
+    "real-time" framing, ~50 fps ≈ 20 ms on a Titan X, ``valid.py:137``):
+    1000/fps is then the on-device ms per single-frame forward+decode.
     """
     from singleshotpose_tpu.models.darknet import fold_batchnorm
     from singleshotpose_tpu.ops.decode import best_boxes, decode_grid
@@ -130,8 +133,9 @@ def bench_infer(quantize: bool = False):
             0, iters, body, (x, jnp.zeros((x.shape[0], 2 * K + 3), x.dtype)))
         return acc
 
+    b = BATCH if batch is None else batch
     x = jax.device_put(jnp.asarray(
-        np.random.RandomState(0).rand(BATCH, SIZE, SIZE, 3), jnp.float32))
+        np.random.RandomState(0).rand(b, SIZE, SIZE, 3), jnp.float32))
 
     out = chained_infer(folded, x, CHAIN)       # compile + warm
     float(jnp.sum(out))                          # full host sync
@@ -139,7 +143,7 @@ def bench_infer(quantize: bool = False):
     out = chained_infer(folded, x, CHAIN)
     float(jnp.sum(out))                          # sync: all CHAIN iters done
     dt = time.perf_counter() - t0
-    return BATCH * CHAIN / dt
+    return b * CHAIN / dt
 
 
 def bench_infer_multi():
@@ -978,6 +982,11 @@ def main():
         extra["infer_fps_int8"] = round(bench_infer(quantize=True), 1)
         extra["infer_fps_multi"] = round(bench_infer_multi(), 1)
         extra["pnp_poses_per_sec"] = round(bench_pnp(), 1)
+        # serving-latency regime: on-device ms for ONE frame's forward+decode
+        # (reference "real-time" context: ~20 ms/frame on a Titan X)
+        extra["serving_latency_ms_b1"] = round(1000 / bench_infer(batch=1), 2)
+        extra["serving_latency_ms_b1_int8"] = round(
+            1000 / bench_infer(quantize=True, batch=1), 2)
     if args.only in (None, "train"):
         step_ms, tps = bench_train_step()
         extra["train_step_ms_b8"] = round(step_ms, 2)
