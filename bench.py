@@ -286,22 +286,29 @@ def bench_train_step_dp_mesh(batch: int = TRAIN_BATCH,
     the multichip execution semantics are pinned by
     tests/test_stem.py::test_train_step_mesh_fused_stem_* on the 8-device
     virtual mesh and dryrun_multichip).  Returns step_ms.
+
+    BENCH_r03 reported 196.5 ms here — that was a RECOMPILE timed as step
+    time, not execution: the state was built with default-placed momentum
+    and ``seen`` next to NamedSharding params, the warm call returned a
+    fully-NamedSharding state, and the timed call therefore had a new
+    sharding signature and recompiled the whole chained program.  With
+    every leaf placed via ``shard_train_state`` (as the drivers now do)
+    input and output shardings match, the second call hits the executable
+    cache (asserted below), and the steady-state meshed step equals the
+    unmeshed one. The loss config also takes the mesh, matching
+    ``drivers.run_training``'s meshed construction.
     """
     from singleshotpose_tpu.ops.losses import RegionLossConfig
     from singleshotpose_tpu.parallel.sharding import (
-        batch_stats_shardings, make_mesh, param_shardings, shard_host_batch)
-    from singleshotpose_tpu.training import TrainState, make_train_step
+        make_mesh, shard_host_batch, shard_train_state)
+    from singleshotpose_tpu.training import init_train_state, make_train_step
     from singleshotpose_tpu.zoo import yolo_pose_single
 
     mesh = make_mesh(dp=1, mp=1)
     net = yolo_pose_single()
     params, bstats = net.init_params(jax.random.PRNGKey(0))
-    state = TrainState(
-        jax.tree.map(jax.device_put, params, param_shardings(net, mesh)),
-        jax.tree.map(jax.device_put, bstats,
-                     batch_stats_shardings(net, mesh)),
-        jax.tree.map(jnp.zeros_like, params), jnp.asarray(0, jnp.int32))
-    raw_step = make_train_step(net, RegionLossConfig.single(),
+    state = shard_train_state(net, mesh, init_train_state(params, bstats))
+    raw_step = make_train_step(net, RegionLossConfig.single(mesh=mesh),
                                weight_decay=0.0005 * batch,
                                momentum=0.9, compute_dtype=jnp.bfloat16,
                                donate=False, jit_compile=False,
@@ -329,7 +336,14 @@ def bench_train_step_dp_mesh(batch: int = TRAIN_BATCH,
     t0 = time.perf_counter()
     state = chained_train(state, images, target, chain)
     int(jax.device_get(state.seen))
-    return (time.perf_counter() - t0) / chain * 1e3
+    step_ms = (time.perf_counter() - t0) / chain * 1e3
+    # Guard against ever timing a recompile again: input and output state
+    # shardings must match, so both calls share one executable.
+    ncompiles = chained_train._cache_size()
+    if ncompiles != 1:
+        print(f"WARNING: dp-mesh chained step compiled {ncompiles}x — "
+              "the timed call recompiled; sharding signature unstable")
+    return step_ms
 
 
 def _fake_scene_bank(nf: int = 30):

@@ -642,15 +642,10 @@ def run_training(datacfg: str, modelcfg: Union[str, DarknetSpec],
             raise ValueError(
                 f"[net] batch={batch_size} must be divisible by the mesh's "
                 f"data axis ({dp}) for data-parallel training")
-        from .parallel.sharding import (batch_stats_shardings,
-                                        param_shardings)
-        ps = param_shardings(spec, rc.mesh)
-        bs_sh = batch_stats_shardings(spec, rc.mesh)
-        state = TrainState(
-            jax.tree.map(jax.device_put, state.params, ps),
-            jax.tree.map(jax.device_put, state.batch_stats, bs_sh),
-            jax.tree.map(jax.device_put, state.momentum, ps),
-            state.seen)
+        from .parallel.sharding import shard_train_state
+        # every leaf incl. seen — a mixed state forces a one-off step
+        # recompile on the 2nd call (see shard_train_state docstring)
+        state = shard_train_state(spec, rc.mesh, state)
 
     loss_cfg = loss_config_from_spec(
         spec, pretrain_num_epochs=pretrain_num_epochs,
@@ -772,10 +767,11 @@ def _precompile_buckets(step, state: TrainState, widths, loader_batch: int,
     THROWAWAY zero state (donation would otherwise consume the real state's
     buffers) and dummy zero batches, logging per-bucket compile time.
     """
-    warm = TrainState(jax.tree.map(jnp.zeros_like, state.params),
-                      jax.tree.map(jnp.zeros_like, state.batch_stats),
-                      jax.tree.map(jnp.zeros_like, state.momentum),
-                      jnp.asarray(0, jnp.int32))
+    # Mirror the live state's shardings leaf-for-leaf (incl. seen): a warm
+    # state with any differently-placed leaf would compile executables the
+    # real step calls can never reuse, defeating the precompile.
+    warm = jax.tree.map(
+        lambda x: jax.device_put(jnp.zeros_like(x), x.sharding), state)
     t_all = time.time()
     for w in widths:
         imgs = np.zeros((loader_batch, w, w, 3), image_dtype)
@@ -929,15 +925,10 @@ def run_training_multi(datacfg: str, modelcfg: Union[str, DarknetSpec],
             raise ValueError(
                 f"[net] batch={batch_size} must be divisible by the mesh's "
                 f"data axis ({dp}) for data-parallel training")
-        from .parallel.sharding import (batch_stats_shardings,
-                                        param_shardings)
-        ps = param_shardings(spec, rc.mesh)
-        state = TrainState(
-            jax.tree.map(jax.device_put, state.params, ps),
-            jax.tree.map(jax.device_put, state.batch_stats,
-                         batch_stats_shardings(spec, rc.mesh)),
-            jax.tree.map(jax.device_put, state.momentum, ps),
-            state.seen)
+        from .parallel.sharding import shard_train_state
+        # every leaf incl. seen — a mixed state forces a one-off step
+        # recompile on the 2nd call (see shard_train_state docstring)
+        state = shard_train_state(spec, rc.mesh, state)
 
     loss_cfg = loss_config_from_spec(
         spec, pretrain_num_epochs=pretrain_num_epochs,

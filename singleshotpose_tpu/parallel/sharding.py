@@ -31,7 +31,7 @@ from ..models.darknet import ConnectedSpec, ConvSpec, DarknetSpec
 
 __all__ = ["make_mesh", "batch_sharding", "param_shardings",
            "batch_stats_shardings", "replicated", "shard_host_batch",
-           "folded_param_shardings"]
+           "folded_param_shardings", "shard_train_state"]
 
 
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
@@ -131,6 +131,30 @@ def batch_stats_shardings(net: DarknetSpec, mesh: Mesh) -> Dict[str, Dict[str, N
             cs = NamedSharding(mesh, _chan_spec(lspec, mp))
             out[lspec.name] = {"mean": cs, "var": cs}
     return out
+
+
+def shard_train_state(net: DarknetSpec, mesh: Mesh, state):
+    """Place EVERY TrainState leaf on ``mesh``: params and momentum by
+    :func:`param_shardings`, batch stats by :func:`batch_stats_shardings`,
+    and the scalar ``seen`` counter replicated.
+
+    Sharding every leaf (not just the big ones) is load-bearing: a mixed
+    state — e.g. a default-placed ``SingleDeviceSharding`` ``seen`` or
+    momentum next to NamedSharding params — comes back from the first jitted
+    step fully NamedSharding (GSPMD propagates), so the SECOND call sees new
+    input shardings and recompiles the whole train step.  That one-off
+    recompile is what BENCH_r03's ``train_step_ms_b8_dp_mesh: 196.5`` timed;
+    the steady-state meshed step matches the unmeshed one (~10.6 ms at
+    batch 8 on one v5e chip).  ``tests/test_training.py::
+    test_sharded_state_does_not_recompile`` pins this.
+    """
+    ps = param_shardings(net, mesh)
+    return state._replace(
+        params=jax.tree.map(jax.device_put, state.params, ps),
+        batch_stats=jax.tree.map(jax.device_put, state.batch_stats,
+                                 batch_stats_shardings(net, mesh)),
+        momentum=jax.tree.map(jax.device_put, state.momentum, ps),
+        seen=jax.device_put(state.seen, replicated(mesh)))
 
 
 def shard_host_batch(mesh: Mesh, images, target):

@@ -206,3 +206,49 @@ def test_train_step_on_8_device_mesh_mp4(tiny_spec):
     np.testing.assert_allclose(np.asarray(state2.params["conv_1"]["w"]),
                                np.asarray(state1b.params["conv_1"]["w"]),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_state_does_not_recompile(tiny_spec):
+    """shard_train_state places EVERY leaf (incl. momentum + seen), so the
+    step's output shardings equal its input shardings and a second call hits
+    the executable cache.  A mixed state (default-placed seen/momentum next
+    to NamedSharding params) comes back fully NamedSharding from call 1 and
+    forces a full recompile on call 2 — the pathology BENCH_r03 timed as a
+    196.5 ms 'step' (real steady state: ~10.6 ms, same as unmeshed)."""
+    from functools import partial
+
+    from singleshotpose_tpu.parallel.sharding import shard_train_state
+
+    mesh = make_mesh(dp=4, mp=2)
+    params, bstats = tiny_spec.init_params(jax.random.PRNGKey(0))
+    cfg = RegionLossConfig.single()
+    raw = make_train_step(tiny_spec, cfg, weight_decay=0.002, momentum=0.9,
+                          compute_dtype=None, donate=False,
+                          jit_compile=False)
+    step = partial(jax.jit, donate_argnums=(0,))(
+        lambda st, im, tg: raw(st, im, tg, jnp.float32(0.001), 100))
+    imgs, tgt = shard_host_batch(
+        mesh, np.random.RandomState(7).rand(8, 64, 64, 3).astype(np.float32),
+        _tiny_target(8))
+
+    # the fixed path: every leaf sharded -> exactly one executable
+    state = shard_train_state(tiny_spec, mesh,
+                              init_train_state(params, bstats))
+    for leaf in jax.tree.leaves(state):
+        assert isinstance(leaf.sharding, jax.sharding.NamedSharding)
+    state, _ = step(state, imgs, tgt)
+    state, _ = step(state, imgs, tgt)
+    assert step._cache_size() == 1
+
+    # the regression shape: mixed state recompiles on the second call
+    mixed = init_train_state(*tiny_spec.init_params(jax.random.PRNGKey(0)))
+    mixed = mixed._replace(
+        params=jax.tree.map(jax.device_put, mixed.params,
+                            param_shardings(tiny_spec, mesh)),
+        batch_stats=jax.tree.map(jax.device_put, mixed.batch_stats,
+                                 batch_stats_shardings(tiny_spec, mesh)))
+    step2 = partial(jax.jit, donate_argnums=(0,))(
+        lambda st, im, tg: raw(st, im, tg, jnp.float32(0.001), 100))
+    mixed, _ = step2(mixed, imgs, tgt)
+    mixed, _ = step2(mixed, imgs, tgt)
+    assert step2._cache_size() == 2
