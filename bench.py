@@ -898,18 +898,25 @@ def _wait_for_tpu_health(max_wait: float = 150.0, heavy: bool = False) -> bool:
     deadline = time.time() + max_wait
     stage = 0                       # 0 = trivial matmul, 1 = heavy probe
     while True:
-        if stage == 0:
-            proc = subprocess.run([sys.executable, "-c", probe],
-                                  stdout=subprocess.DEVNULL,
-                                  stderr=subprocess.DEVNULL, timeout=120)
-        else:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--only",
-                 "synth", "--synth_scale", "probe"],
-                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-                timeout=600,
-                cwd=os.path.dirname(os.path.abspath(__file__)))
-        if proc.returncode == 0:
+        try:
+            if stage == 0:
+                proc = subprocess.run([sys.executable, "-c", probe],
+                                      stdout=subprocess.DEVNULL,
+                                      stderr=subprocess.DEVNULL, timeout=120)
+            else:
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--only",
+                     "synth", "--synth_scale", "probe"],
+                    stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                    timeout=600,
+                    cwd=os.path.dirname(os.path.abspath(__file__)))
+            rc = proc.returncode
+        except subprocess.TimeoutExpired:
+            # a HUNG probe (vs a crashed one) is the same signal: the worker
+            # is unhealthy — treat as failed so the escalation ladder in
+            # _synth_group_in_subprocess keeps its small-scale fallback
+            rc = -1
+        if rc == 0:
             if stage == 1 or not heavy:
                 return True
             stage = 1               # matmul ok → run the sacrificial probe
@@ -948,12 +955,16 @@ def _synth_group_in_subprocess():
         if not _wait_for_tpu_health(heavy=True):
             last = "health probe never passed"
             continue
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--only", "synth",
-             "--synth_scale", scale],
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-            timeout=1800,
-            cwd=os.path.dirname(os.path.abspath(__file__)))
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--only", "synth",
+                 "--synth_scale", scale],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+                timeout=1800,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+        except subprocess.TimeoutExpired:
+            last = "synth subprocess hung (1800s) — treated as crash"
+            continue
         for line in reversed(proc.stdout.splitlines()):
             if line.startswith("{"):
                 out = json.loads(line)["extra"]

@@ -14,8 +14,9 @@ Eval pixels are bit-identical to the ``transfer="rgb"`` path (the bank stores
 exactly the u8 batches that path would ship).
 
 Memory: u8 at eval size — 672x672x3 = 1.35 MB/frame, so a 1k-frame LINEMOD
-test split is ~1.4 GB (v5e has 16 GB).  A small LRU (2 banks) keeps the
-occlusion sweep from accumulating six splits.
+test split is ~1.4 GB (v5e has 16 GB).  A small LRU (``_CACHE_SLOTS = 8``
+banks, sized for the 6-object occlusion sweep) keeps repeat evals from
+rebuilding while bounding the footprint.
 
 Usage: ``run_validation(..., transfer="bank")`` (drivers.py) or
 ``TrainRunConfig.eval_transfer = "bank"`` for the in-training cadence, where
@@ -72,6 +73,15 @@ def build_eval_bank(dataset, out_shape: Tuple[int, int], batch_size: int, *,
 
     if dataset.train:
         raise ValueError("EvalBank is a test-mode construct")
+    if jax.process_count() > 1:
+        # device_put of a full host array onto a NamedSharding is invalid
+        # when this process only owns a slice of the mesh; the multi-host
+        # path needs make_array_from_process_local_data.  In-training eval
+        # is gated off under multi-host (drivers), so fail loudly here
+        # rather than let a future caller hit an opaque runtime error.
+        raise NotImplementedError(
+            "build_eval_bank assumes a single-process mesh; use "
+            "jax.make_array_from_process_local_data for multi-host")
     loader = Loader(dataset, batch_size, shuffle=False, schedule=None,
                     fixed_shape=out_shape, num_workers=num_workers,
                     drop_last=False, out_uint8=True)

@@ -46,6 +46,17 @@ def _log(msg: str) -> None:
     print(f"{time.strftime('%Y-%m-%d %H:%M:%S')} {msg}", flush=True)
 
 
+def _mesh_cache_key(mesh):
+    """Stable mesh identity for eval-bank LRU keys.  ``id(mesh)`` is unsafe
+    (CPython recycles ids after GC, so a new mesh could alias a stale bank
+    sharded for dead devices) and over-strict (equivalent-but-distinct Mesh
+    objects would each rebuild a ~GB bank)."""
+    if mesh is None:
+        return None
+    return (mesh.axis_names, tuple(sorted(mesh.shape.items())),
+            tuple(d.id for d in mesh.devices.flat))
+
+
 def load_spec(modelcfg: Union[str, DarknetSpec]) -> DarknetSpec:
     """Accept a `.cfg` path or an already-built DarknetSpec."""
     if isinstance(modelcfg, DarknetSpec):
@@ -341,7 +352,7 @@ def run_validation(datacfg: str, modelcfg: Union[str, DarknetSpec],
         loader = get_eval_bank(
             ds, out_shape, batch_size, num_workers=num_workers, mesh=mesh,
             cache_key=("single", dcfg.valid, out_shape, batch_size,
-                       spec.num_keypoints, id(mesh) if mesh else None))
+                       spec.num_keypoints, _mesh_cache_key(mesh)))
         fwd_transfer = "rgb"        # bank slices ARE eval-size u8 rgb
     else:
         loader = Loader(ds, batch_size, shuffle=False, schedule=None,
@@ -478,7 +489,7 @@ def run_validation_multi(datacfg: Union[str, DataConfig],
         loader = get_eval_bank(
             ds, out_shape, batch_size, num_workers=num_workers, mesh=mesh,
             cache_key=("multi", dcfg.valid, name, out_shape, batch_size,
-                       spec.num_keypoints, id(mesh) if mesh else None))
+                       spec.num_keypoints, _mesh_cache_key(mesh)))
         fwd_transfer = "rgb"
     else:
         loader = Loader(ds, batch_size, shuffle=False, schedule=None,

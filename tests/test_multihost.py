@@ -84,28 +84,42 @@ def test_two_real_processes_both_trainers(tmp_path):
         SINGLE_CFG.replace("batch=2", "batch=8"))
     _make_synthetic_multi(tmp_path, n=8, batch=4)
 
-    with socket.socket() as s:
-        s.bind(("localhost", 0))
-        port = s.getsockname()[1]
-
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
-    procs = [subprocess.Popen(
-        [sys.executable, worker, str(i), "2", str(port), str(tmp_path)],
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        env={k: v for k, v in os.environ.items()
-             if k not in ("JAX_PLATFORMS", "XLA_FLAGS")})
-        for i in range(2)]
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+
+    def launch():
+        # ephemeral-port pattern is bind→close→hand to the workers, a TOCTOU
+        # race under parallel CI; the retry loop below absorbs a lost race
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        return [subprocess.Popen(
+            [sys.executable, worker, str(i), "2", str(port), str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env) for i in range(2)]
+
     outs = []
-    try:
-        for i, p in enumerate(procs):
-            out, _ = p.communicate(timeout=900)
-            outs.append(out)
-            assert p.returncode == 0, f"worker {i} failed:\n{out[-4000:]}"
-            assert f"WORKER_{i}_OK" in out
-    finally:
-        for p in procs:
-            if p.poll() is None:
-                p.kill()
+    for attempt in range(3):
+        procs, outs, bind_lost = launch(), [], False
+        try:
+            for i, p in enumerate(procs):
+                out, _ = p.communicate(timeout=900)
+                outs.append(out)
+                if p.returncode != 0 and ("Address already in use" in out
+                                          or "errno: 98" in out):
+                    bind_lost = True
+                    break
+                assert p.returncode == 0, f"worker {i} failed:\n{out[-4000:]}"
+                assert f"WORKER_{i}_OK" in out
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+        if not bind_lost:
+            break
+    else:
+        raise AssertionError("coordinator port bind lost 3x (TOCTOU)")
 
     r0 = json.loads((tmp_path / "result_0.json").read_text())
     r1 = json.loads((tmp_path / "result_1.json").read_text())
