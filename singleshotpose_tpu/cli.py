@@ -71,12 +71,13 @@ def _add_train_run_flags(p: argparse.ArgumentParser) -> None:
                    help="device_synth: mask-overlap test resolution "
                         "divisor (4 = measured distribution-neutral at "
                         "~2x throughput; 1 = host's full-res ratio)")
-    p.add_argument("--eval_transfer", type=str, default="rgb",
-                   choices=["rgb", "yuv420", "bank"],
+    p.add_argument("--eval_transfer", type=str, default="auto",
+                   choices=["auto", "rgb", "yuv420", "bank"],
                    help="in-training eval input path: rgb u8 batches, "
                         "yuv420 native-size planes (device converts), or "
                         "bank (test split decoded once into HBM — every "
-                        "eval epoch after the first is link-free)")
+                        "eval epoch after the first is link-free); auto "
+                        "picks bank when it fits the HBM budget, else rgb")
 
 
 def _mesh_from_dp(dp: int):

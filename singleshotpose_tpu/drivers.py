@@ -563,10 +563,13 @@ class TrainRunConfig:
     profile_dir: Optional[str] = None  # jax.profiler trace of a few steps
     profile_steps: Tuple[int, int] = (5, 10)
     cache_decoded: bool = False        # RAM-cache decoded images across epochs
-    # in-training eval transfer mode: "rgb" | "yuv420" | "bank".  "bank"
-    # decodes the test split once into HBM (data/eval_bank.py) — every eval
-    # epoch after the first runs with zero host decode / per-frame transfer
-    eval_transfer: str = "rgb"
+    # in-training eval transfer mode: "auto" | "rgb" | "yuv420" | "bank".
+    # "bank" decodes the test split once into HBM (data/eval_bank.py) — every
+    # eval epoch after the first runs with zero host decode / per-frame
+    # transfer (614.9 vs 53.4 fps through a 53 MB/s link, BENCH_r03).
+    # "auto" (default) picks "bank" when the split fits the device's HBM
+    # budget with headroom (preflight in _resolve_eval_transfer), else "rgb".
+    eval_transfer: str = "auto"
     loader_backend: str = "auto"  # auto|python|native|device|device_bank
     #                               (multi: auto|python|device_synth)
     precompile_buckets: bool = False   # pre-pay multi-scale XLA compiles
@@ -583,6 +586,74 @@ class TrainRunConfig:
     synth_attempts: Optional[int] = None
     synth_propose_scale: int = 4
 
+
+
+_EVAL_BANK_HEADROOM = 1 << 30   # keep >= 1 GB free for eval activations
+
+
+def _count_list_lines(path: str) -> int:
+    try:
+        with open(path) as f:
+            return sum(1 for line in f if line.strip())
+    except OSError:
+        return 0
+
+
+def _valid_split_frames(datacfg: Union[str, DataConfig]) -> int:
+    dc = datacfg if isinstance(datacfg, DataConfig) else \
+        data_config_from_options(read_data_cfg(datacfg))
+    return _count_list_lines(dc.valid)
+
+
+def _bank_bytes(n_frames: int, out_shape: Tuple[int, int],
+                batch: int) -> int:
+    """u8 HBM footprint of an EvalBank: frames padded to a batch multiple."""
+    padded = -(-max(n_frames, 1) // batch) * batch
+    return padded * out_shape[0] * out_shape[1] * 3
+
+
+def _hbm_free_bytes() -> Optional[int]:
+    """Device-memory headroom, or None when the backend has no accounting
+    (CPU/interpreters — there the 'bank' lives in host RAM anyway)."""
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+    except Exception:
+        return None
+    if "bytes_limit" not in stats:
+        return None
+    return int(stats["bytes_limit"]) - int(stats.get("bytes_in_use", 0))
+
+
+def _resolve_eval_transfer(rc: "TrainRunConfig", need_bytes: int) -> str:
+    """Resolve ``eval_transfer="auto"`` for one in-training eval pass.
+
+    Policy (VERDICT r3 #4): the HBM bank is strictly better than streaming
+    for the repeated eval cadence (reference ``train.py:395``) whenever it
+    fits, so default to it — but preflight the device-memory budget first:
+    bank bytes for the split(s) + >=1 GB activation headroom must fit the
+    free HBM.  When tight, first evict the eval-bank LRU (stale banks from
+    earlier splits), then fall back to streaming "rgb" for THIS pass (the
+    next eval re-resolves — transient pressure doesn't stick the run in
+    streaming mode).
+    """
+    if rc.eval_transfer != "auto":
+        return rc.eval_transfer
+    free = _hbm_free_bytes()
+    if free is None:
+        return "bank"
+    need = need_bytes + _EVAL_BANK_HEADROOM
+    if need <= free:
+        return "bank"
+    from .data import eval_bank as _EB
+    cached = sum(b.nbytes() for b in _EB._CACHE.values())
+    if cached and need <= free + cached:
+        _log(f"eval_transfer=auto: evicting {cached >> 20} MB of cached "
+             "eval banks to fit this split")
+        _EB.clear_cache()
+        return "bank"
+    _log(f"eval_transfer=auto: bank needs {need >> 20} MB but only "
+         f"{free >> 20} MB HBM free — streaming rgb for this eval")
+    return "rgb"
 
 
 def _resolve_fused_stem(rc: "TrainRunConfig") -> bool:
@@ -848,11 +919,15 @@ def _train_epochs(spec, state_box, loader, step, net, steps, scales,
                 # multi-host mesh run the eval offline from a checkpoint
                 _log("skipping in-training eval under multi-host mesh")
                 continue
+            transfer = _resolve_eval_transfer(rc, _bank_bytes(
+                _valid_split_frames(datacfg),
+                (spec.net.test_width, spec.net.test_height),
+                rc.eval_batch_size))
             summary = run_validation(
                 datacfg, spec, params=state.params,
                 batch_stats=state.batch_stats,
                 batch_size=rc.eval_batch_size, num_workers=rc.num_workers,
-                compute_dtype=rc.compute_dtype, transfer=rc.eval_transfer,
+                compute_dtype=rc.compute_dtype, transfer=transfer,
                 mesh=rc.mesh)   # sharded training → eval batches shard too
             acc = summary[rc.save_best_metric]
             history["testing_iters"].append(processed_batches)
@@ -1046,6 +1121,11 @@ def _multi_epoch_body(epoch, spec, state_box, loader, step, net, steps,
             # multi-host mesh run the eval offline from a checkpoint
             _log("[multi] skipping in-training eval under multi-host mesh")
             return processed_batches, best_acc
+        # the sweep accumulates one bank per object in the LRU — budget all
+        out_shape = (spec.net.test_width, spec.net.test_height)
+        need = sum(_bank_bytes(_valid_split_frames(dc), out_shape,
+                               rc.eval_batch_size) for dc in eval_datacfgs)
+        transfer = _resolve_eval_transfer(rc, need)
         accs = []
         for dc in eval_datacfgs:
             res = run_validation_multi(
@@ -1053,7 +1133,7 @@ def _multi_epoch_body(epoch, spec, state_box, loader, step, net, steps,
                 batch_stats=state.batch_stats,
                 batch_size=rc.eval_batch_size,
                 num_workers=rc.num_workers,
-                compute_dtype=rc.compute_dtype, transfer=rc.eval_transfer,
+                compute_dtype=rc.compute_dtype, transfer=transfer,
                 mesh=rc.mesh)   # sharded training → eval batches shard too
             accs.append(res["acc_table"][50])   # reference records acc@50
         mean_acc = float(np.mean(accs)) if accs else float("nan")

@@ -362,3 +362,78 @@ def test_eval_bank_quantized(synth):
         np.testing.assert_allclose(banked[k], base[k], rtol=1e-4, atol=1e-5,
                                    err_msg=k)
     EB.clear_cache()
+
+
+def test_eval_transfer_auto_policy(monkeypatch):
+    """eval_transfer="auto" resolves to bank when the HBM budget allows,
+    evicts the bank LRU under pressure, and streams rgb when truly tight
+    (VERDICT r3 #4); explicit modes pass through untouched."""
+    import singleshotpose_tpu.drivers as D
+    from singleshotpose_tpu.data import eval_bank as EB
+
+    rc = TrainRunConfig()  # default eval_transfer="auto"
+    GB = 1 << 30
+
+    # no memory accounting (CPU backend) -> bank
+    monkeypatch.setattr(D, "_hbm_free_bytes", lambda: None)
+    assert D._resolve_eval_transfer(rc, 2 * GB) == "bank"
+
+    # plenty of headroom -> bank
+    monkeypatch.setattr(D, "_hbm_free_bytes", lambda: 8 * GB)
+    assert D._resolve_eval_transfer(rc, 2 * GB) == "bank"
+
+    # tight and nothing cached to evict -> rgb fallback
+    monkeypatch.setattr(D, "_hbm_free_bytes", lambda: 2 * GB)
+    EB.clear_cache()
+    assert D._resolve_eval_transfer(rc, 2 * GB) == "rgb"
+
+    # tight but evicting cached banks frees enough -> evict + bank
+    class _FakeBank:
+        def nbytes(self):
+            return 2 * GB
+    EB._CACHE["stale"] = _FakeBank()
+    assert D._resolve_eval_transfer(rc, 2 * GB) == "bank"
+    assert len(EB._CACHE) == 0  # LRU was evicted
+
+    # explicit modes bypass the policy entirely
+    monkeypatch.setattr(D, "_hbm_free_bytes",
+                        lambda: (_ for _ in ()).throw(AssertionError))
+    for mode in ("rgb", "yuv420", "bank"):
+        rc2 = TrainRunConfig(eval_transfer=mode)
+        assert D._resolve_eval_transfer(rc2, 2 * GB) == mode
+
+
+def test_train_eval_auto_uses_bank(synth, monkeypatch):
+    """The default (auto) in-training eval goes through the HBM bank when
+    the budget preflight passes, and falls back to streaming when it
+    doesn't — metric values identical either way (bit-identical pixels)."""
+    import singleshotpose_tpu.drivers as D
+    from singleshotpose_tpu.data import eval_bank as EB
+
+    datacfg, cfgfile, backup = synth
+    EB.clear_cache()
+    calls = []
+    real_build = EB.build_eval_bank
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real_build(*a, **k)
+    monkeypatch.setattr(EB, "build_eval_bank", spy)
+
+    rc = TrainRunConfig(eval_every=1, eval_after=0, num_workers=0,
+                        eval_batch_size=3, bg_dir="/nonexistent",
+                        log_every=2, max_epochs_override=2)
+    rc.compute_dtype = None
+    res_bank = run_training(datacfg, cfgfile, None, 100, rc)
+    assert calls, "auto never built an eval bank on an unconstrained backend"
+    assert len(calls) == 1, "bank must be LRU-cached across eval epochs"
+
+    # force the tight-budget path: identical accuracies via streaming
+    monkeypatch.setattr(D, "_hbm_free_bytes", lambda: 0)
+    calls.clear()
+    EB.clear_cache()
+    res_rgb = run_training(datacfg, cfgfile, None, 100, rc)
+    assert not calls, "tight budget must not build a bank"
+    np.testing.assert_allclose(
+        res_bank["history"]["testing_accuracies"],
+        res_rgb["history"]["testing_accuracies"], rtol=0, atol=0)
