@@ -88,18 +88,9 @@ def _model_flops_per_frame(net, size: int) -> float:
     return flops
 
 
-def bench_infer(quantize: bool = False, batch: int = None):
-    """Single-chip 416² inference fps incl. grid decode.
-
-    ``quantize=False``: bf16, BN folded. ``quantize=True``: the int8 serving
-    path (models/quantize.py) — per-channel int8 weights, calibrated
-    activation scales, int32 MXU accumulation (v5e runs int8 at 2× bf16 peak;
-    pose-metric parity on trained nets is validated by
-    ``examples/overfit_validation.py --quantize``).
-    ``batch=1`` measures the serving-latency regime (the reference's
-    "real-time" framing, ~50 fps ≈ 20 ms on a Titan X, ``valid.py:137``):
-    1000/fps is then the on-device ms per single-frame forward+decode.
-    """
+def _infer_chain(quantize: bool = False):
+    """(chained_infer, folded_params, make_input): the single-object
+    forward+decode chain shared by the fps and latency benches."""
     from singleshotpose_tpu.models.darknet import fold_batchnorm
     from singleshotpose_tpu.ops.decode import best_boxes, decode_grid
     from singleshotpose_tpu.zoo import yolo_pose_single
@@ -133,9 +124,25 @@ def bench_infer(quantize: bool = False, batch: int = None):
             0, iters, body, (x, jnp.zeros((x.shape[0], 2 * K + 3), x.dtype)))
         return acc
 
+    def make_input(b):
+        return jax.device_put(jnp.asarray(
+            np.random.RandomState(0).rand(b, SIZE, SIZE, 3), jnp.float32))
+
+    return chained_infer, folded, make_input
+
+
+def bench_infer(quantize: bool = False, batch: int = None):
+    """Single-chip 416² inference fps incl. grid decode.
+
+    ``quantize=False``: bf16, BN folded. ``quantize=True``: the int8 serving
+    path (models/quantize.py) — per-channel int8 weights, calibrated
+    activation scales, int32 MXU accumulation (v5e runs int8 at 2× bf16 peak;
+    pose-metric parity on trained nets is validated by
+    ``examples/overfit_validation.py --quantize``).
+    """
+    chained_infer, folded, make_input = _infer_chain(quantize)
     b = BATCH if batch is None else batch
-    x = jax.device_put(jnp.asarray(
-        np.random.RandomState(0).rand(b, SIZE, SIZE, 3), jnp.float32))
+    x = make_input(b)
 
     out = chained_infer(folded, x, CHAIN)       # compile + warm
     float(jnp.sum(out))                          # full host sync
@@ -144,6 +151,42 @@ def bench_infer(quantize: bool = False, batch: int = None):
     float(jnp.sum(out))                          # sync: all CHAIN iters done
     dt = time.perf_counter() - t0
     return b * CHAIN / dt
+
+
+def bench_latency_b1(quantize: bool = False, n_lo: int = 100,
+                     n_hi: int = 400):
+    """Batch-1 serving latency split into (on-device ms/frame, fixed
+    dispatch ms) by a two-point chain-length fit.
+
+    A single timed chain of N iterations costs F + N·c where F is the fixed
+    host→device dispatch + scalar device_get round-trip (~25 ms through
+    this dev tunnel, sub-ms on a real TPU VM's PCIe) and c is the true
+    on-device forward+decode latency.  Timing one short chain (rounds 2-3
+    did CHAIN=30) reports c + F/30, which moved with tunnel load — that is
+    why the "batch-1 latency" artifact drifted 1.19→1.67→1.82 ms across
+    rounds while nothing in the program changed.  The slope
+    c = (t(n_hi)−t(n_lo))/(n_hi−n_lo) cancels F and is stable; both are
+    reported (``serving_latency_ms_b1``, ``serving_dispatch_ms``).  Median
+    of 3 at each point.  Context: the paper's "real-time" is ~20 ms/frame
+    on a Titan X (reference README.md:11).
+    """
+    chained_infer, folded, make_input = _infer_chain(quantize)
+    x = make_input(1)
+
+    def timed(iters):
+        out = chained_infer(folded, x, iters)   # compile + warm this iters
+        float(jnp.sum(out))
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = chained_infer(folded, x, iters)
+            float(jnp.sum(out))
+            ts.append(time.perf_counter() - t0)
+        return sorted(ts)[1]
+    t_lo, t_hi = timed(n_lo), timed(n_hi)
+    slope_ms = (t_hi - t_lo) / (n_hi - n_lo) * 1e3
+    fixed_ms = t_lo * 1e3 - n_lo * slope_ms
+    return slope_ms, max(fixed_ms, 0.0)
 
 
 def bench_infer_multi():
@@ -344,6 +387,60 @@ def bench_train_step_dp_mesh(batch: int = TRAIN_BATCH,
         print(f"WARNING: dp-mesh chained step compiled {ncompiles}x — "
               "the timed call recompiled; sharding signature unstable")
     return step_ms
+
+
+def bench_train_multi_step(batch: int = 32, chain: int = TRAIN_CHAIN):
+    """Fused MULTI-OBJECT train-step time (fwd+loss+bwd+SGD at 416²),
+    synthesis excluded — the pure step the OCCLUSION trainer runs.
+
+    The multi head is 160 channels / 5 anchors / 13 classes with an
+    IoU anchor match + CE class loss (reference
+    ``multi_obj_pose_estimation/yolo-pose-multi.cfg:235`` and
+    ``region_loss_multi.py:66-77,169``), so this is a distinct program
+    from the single-object step.  Default batch is the reference config
+    (batch=32, ``yolo-pose-multi.cfg:3``); main() also reports the
+    throughput-optimal batch-128 samples/s plus its MFU
+    (``mfu_train_multi``).  Chained on-device like
+    :func:`bench_train_step`.  Returns (step_ms, samples_per_sec).
+    """
+    from singleshotpose_tpu.drivers import loss_config_from_spec
+    from singleshotpose_tpu.training import init_train_state, make_train_step
+    from singleshotpose_tpu.zoo import yolo_pose_multi
+
+    net = yolo_pose_multi()
+    state = init_train_state(*net.init_params(jax.random.PRNGKey(0)))
+    loss_cfg = loss_config_from_spec(net, pretrain_num_epochs=0,
+                                     im_width=640, im_height=480, multi=True)
+    raw_step = make_train_step(net, loss_cfg, weight_decay=0.0005 * batch,
+                               momentum=0.9, compute_dtype=jnp.bfloat16,
+                               donate=False, jit_compile=False,
+                               fused_stem=jax.default_backend() == "tpu" and
+                               batch < 64)
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(batch, SIZE, SIZE, 3), jnp.float32)
+    # 4 objects per scene, classes spread over the 13, plausible extents
+    target = np.zeros((batch, 50, 21), np.float32)
+    target[:, :4, 0] = rng.randint(0, 13, (batch, 4))
+    target[:, :4, 1:19] = rng.uniform(0.2, 0.8, (batch, 4, 18))
+    target[:, :4, 19:21] = rng.uniform(0.15, 0.3, (batch, 4, 2))
+    target = jnp.asarray(target.reshape(batch, 50 * 21))
+
+    @partial(jax.jit, static_argnames=("iters",), donate_argnums=(0,))
+    def chained_train(state, images, target, iters):
+        def body(i, st):
+            st, _stats = raw_step(st, images, target,
+                                  jnp.float32(0.001 / batch), 100)
+            return st
+        return jax.lax.fori_loop(0, iters, body, state)
+
+    state = chained_train(state, images, target, chain)  # compile + warm
+    int(jax.device_get(state.seen))
+    t0 = time.perf_counter()
+    state = chained_train(state, images, target, chain)
+    int(jax.device_get(state.seen))
+    dt = time.perf_counter() - t0
+    return dt / chain * 1e3, batch * chain / dt
 
 
 def _fake_scene_bank(nf: int = 30):
@@ -742,17 +839,21 @@ def _gen_learnable_dataset(base: str, n_train: int, n_eval: int,
     return f"{base}/synth.data"
 
 
-def bench_int8_acc(n_train: int = 192, n_eval: int = 64,
-                   n_epochs: int = 300, batch: int = 32) -> dict:
-    """int8 accuracy evidence on a REAL trained net with a held-out split.
+def bench_int8_acc(n_train: int = 192, n_eval: int = 256,
+                   n_epochs: int = 300, batch: int = 32,
+                   seeds: tuple = (0, 1, 2)) -> dict:
+    """int8 accuracy evidence on REAL trained nets with a held-out split.
 
-    Trains yolo-pose (full net, augmented pipeline, device_bank loader) on
-    the learnable synthetic set until held-out mean reprojection error is
-    well under the 5 px metric threshold (~2.5-4 px at 300 epochs), then
-    runs the full eval suite twice — bf16 folded vs int8-quantized serving
-    (models/quantize.py) — on the held-out frames.  Backs the README's
-    quantization claim with a measured delta on generalizing weights
-    (round 2 only had overfit-net evidence).
+    For each training seed: trains yolo-pose (full net, augmented pipeline,
+    device_bank loader) on the learnable synthetic set until held-out mean
+    reprojection error is well under the 5 px metric threshold (~2.5-4 px at
+    300 epochs), then runs the full eval suite twice — bf16 folded vs
+    int8-quantized serving (models/quantize.py) — on the ``n_eval`` held-out
+    frames.  Reports the MEAN across seeds plus the min..max spread of the
+    deltas, so the README's "2D-reproj@5px unchanged" claim (reference
+    metric definition ``valid.py:203-205``) carries noise bars: at n=256
+    one frame is 0.39pp, and the spread shows seed-to-seed variation
+    (round 3's single-seed n=64 number was exactly one frame flipping).
     """
     from singleshotpose_tpu.data.pipeline import Loader, PoseDataset
     from singleshotpose_tpu.drivers import run_validation
@@ -760,37 +861,164 @@ def bench_int8_acc(n_train: int = 192, n_eval: int = 64,
     from singleshotpose_tpu.training import init_train_state, make_train_step
     from singleshotpose_tpu.zoo import yolo_pose_single
 
-    base = "/tmp/ssp_bench_int8"
+    base = f"/tmp/ssp_bench_int8_{n_train}_{n_eval}"
     datacfg = _gen_learnable_dataset(base, n_train, n_eval)
-    net = yolo_pose_single(test_size=416)
-    state = init_train_state(*net.init_params(jax.random.PRNGKey(0)))
+    net = yolo_pose_single(test_size=SIZE)
     cfg = RegionLossConfig.single(pretrain_num_epochs=15)
     step = make_train_step(net, cfg, weight_decay=0.0, momentum=0.9,
                            fused_stem=jax.default_backend() == "tpu")
     ds = PoseDataset(f"{base}/train.txt", train=True,
                      bg_file_names=[f"{base}/bg.jpg"])
-    loader = Loader(ds, batch, schedule=None, fixed_shape=(SIZE, SIZE),
-                    num_workers=0, seed=0, backend="device_bank")
-    for ep in range(n_epochs):
-        # phase 1: coordinates only (pretrain gate); phase 2: + confidence;
-        # final quarter: lr decay (the darknet two-phase recipe,
-        # examples/overfit_validation.py)
-        epoch_flag = 0 if ep < n_epochs * 0.5 else 100
-        lr = 2e-5 if ep < n_epochs * 0.75 else 4e-6
-        for imgs, labels in loader:
-            state, _stats = step(state, imgs, labels, np.float32(lr),
-                                 np.int32(epoch_flag))
-    kw = dict(params=state.params, batch_stats=state.batch_stats,
-              batch_size=batch, num_workers=2, verbose=False)
-    s_bf16 = run_validation(datacfg, net, **kw)
-    s_int8 = run_validation(datacfg, net, quantize=True, **kw)
+    accs_bf16, accs_int8, d_acc, d_px = [], [], [], []
+    for seed in seeds:
+        state = init_train_state(*net.init_params(jax.random.PRNGKey(seed)))
+        loader = Loader(ds, batch, schedule=None, fixed_shape=(SIZE, SIZE),
+                        num_workers=0, seed=seed, backend="device_bank")
+        for ep in range(n_epochs):
+            # phase 1: coordinates only (pretrain gate); phase 2:
+            # + confidence; final quarter: lr decay (the darknet two-phase
+            # recipe, examples/overfit_validation.py)
+            epoch_flag = 0 if ep < n_epochs * 0.5 else 100
+            lr = 2e-5 if ep < n_epochs * 0.75 else 4e-6
+            for imgs, labels in loader:
+                state, _stats = step(state, imgs, labels, np.float32(lr),
+                                     np.int32(epoch_flag))
+        kw = dict(params=state.params, batch_stats=state.batch_stats,
+                  batch_size=batch, num_workers=2, verbose=False)
+        s_bf16 = run_validation(datacfg, net, **kw)
+        s_int8 = run_validation(datacfg, net, quantize=True, **kw)
+        accs_bf16.append(float(s_bf16["acc_2d_proj"]))
+        accs_int8.append(float(s_int8["acc_2d_proj"]))
+        d_acc.append(float(s_int8["acc_2d_proj"] - s_bf16["acc_2d_proj"]))
+        d_px.append(float(s_int8["mean_err_2d"] - s_bf16["mean_err_2d"]))
     return {
-        "acc2d5px_bf16": round(float(s_bf16["acc_2d_proj"]), 2),
-        "acc2d5px_int8": round(float(s_int8["acc_2d_proj"]), 2),
-        "int8_acc_delta": round(float(s_int8["acc_2d_proj"]
-                                      - s_bf16["acc_2d_proj"]), 2),
-        "int8_px_delta": round(float(s_int8["mean_err_2d"]
-                                     - s_bf16["mean_err_2d"]), 3),
+        "acc2d5px_bf16": round(float(np.mean(accs_bf16)), 2),
+        "acc2d5px_int8": round(float(np.mean(accs_int8)), 2),
+        "int8_acc_delta": round(float(np.mean(d_acc)), 2),
+        "int8_acc_delta_range": [round(min(d_acc), 2), round(max(d_acc), 2)],
+        "int8_px_delta": round(float(np.mean(d_px)), 3),
+        "int8_px_delta_range": [round(min(d_px), 3), round(max(d_px), 3)],
+        "int8_eval_n": len(seeds) * n_eval,
+        "int8_seeds": len(seeds),
+    }
+
+
+def bench_int8_acc_multi(n_scenes: int = 16, iters: int = 900) -> dict:
+    """Multi-object int8 delta: the quantized OCCLUSION-style sweep.
+
+    Trains yolo-pose-multi (5 anchors, 13 classes, CE class loss) to fit
+    ``n_scenes`` synthetic 3-object scenes whose poses are visually encoded
+    (face-colored boxes, the examples/overfit_validation_multi.py
+    construction), then decodes per-GT class-picked boxes twice — bf16
+    folded vs int8-quantized (models/quantize.py) — and reports the
+    2D-reproj@5px delta over the 3·n_scenes object instances.  An
+    overfit-net canary (the multi synthesis pipeline has no held-out
+    real data in this environment), complementing the generalizing-net
+    single-object evidence of :func:`bench_int8_acc`; the eval path is the
+    one ``ssp valid-multi --quantize`` serves (reference sweep:
+    ``multi_obj_pose_estimation/valid_multi.py:153-158``).
+    """
+    from singleshotpose_tpu.data.augment import resize_nearest
+    from singleshotpose_tpu.evaluate import EvalContext, pose_metrics
+    from singleshotpose_tpu.models.darknet import fold_batchnorm
+    from singleshotpose_tpu.models.quantize import (calibrate_activations,
+                                                    quantize_folded,
+                                                    apply_quantized)
+    from singleshotpose_tpu.ops.decode import best_box_for_class, decode_grid
+    from singleshotpose_tpu.ops.losses import RegionLossConfig
+    from singleshotpose_tpu.training import init_train_state, make_train_step
+    from singleshotpose_tpu.zoo import yolo_pose_multi
+
+    rng = np.random.RandomState(7)
+    K = np.array([[572.4114, 0, 325.2611], [0, 573.5704, 242.0489],
+                  [0, 0, 1]], np.float32)
+    pts = np.array([[0, 0, 0]] + [[sx * .045, sy * .035, sz * .04]
+                    for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+                   np.float32)
+    B = n_scenes
+    imgs = np.zeros((B, SIZE, SIZE, 3), np.float32)
+    tgt = np.zeros((B, 50 * 21), np.float32)
+    gt_per_img = []
+    colors = rng.randint(60, 255, (13, 6, 3))
+    for b in range(B):
+        canvas = rng.randint(0, 60, (480, 640, 3)).astype(np.uint8)
+        tt = tgt[b].reshape(50, 21)
+        gts = []
+        for slot, cls in enumerate([1, 4, 7]):
+            w = rng.randn(3) * .4
+            th = max(np.linalg.norm(w), 1e-6)
+            Kx = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]],
+                           [-w[1], w[0], 0]])
+            R = np.eye(3) + np.sin(th) / th * Kx + \
+                (1 - np.cos(th)) / th ** 2 * Kx @ Kx
+            t = np.array([(-0.15 + 0.15 * slot) + rng.uniform(-.02, .02),
+                          rng.uniform(-.04, .04), rng.uniform(.6, .75)])
+            cam = pts @ R.T + t
+            pix = cam @ K.T
+            pix = pix[:, :2] / pix[:, 2:3]
+            for _f in range(300):       # paint pose-revealing face texture
+                u, v = rng.uniform(-1, 1, 2)
+                face = rng.randint(6)
+                p = np.array([u * .045, v * .035,
+                              (.04 if face == 0 else -.04)]) if face < 2 \
+                    else np.array([u * .045, (.035 if face == 2 else -.035),
+                                   v * .04]) if face < 4 \
+                    else np.array([(.045 if face == 4 else -.045),
+                                   u * .035, v * .04])
+                c = (R @ p + t)
+                px = K @ c
+                x, y = int(px[0] / px[2]), int(px[1] / px[2])
+                if 0 <= x < 634 and 0 <= y < 474:
+                    canvas[y:y + 6, x:x + 6] = colors[cls, face]
+            tt[slot, 0] = cls
+            tt[slot, 1:19:2] = pix[:, 0] / 640
+            tt[slot, 2:19:2] = pix[:, 1] / 480
+            tt[slot, 19:21] = [np.ptp(pix[:, 0]) / 640,
+                               np.ptp(pix[:, 1]) / 480]
+            gts.append((cls, pix.copy()))
+        gt_per_img.append(gts)
+        imgs[b] = resize_nearest(canvas, SIZE, SIZE).astype(np.float32) / 255.
+
+    net = yolo_pose_multi()
+    state = init_train_state(*net.init_params(jax.random.PRNGKey(0)))
+    cfg = RegionLossConfig.multi(anchors=net.anchors, pretrain_num_epochs=15)
+    step = make_train_step(net, cfg, weight_decay=0.0, momentum=0.9,
+                           fused_stem=jax.default_backend() == "tpu")
+    imgs_d = jax.device_put(jnp.asarray(imgs))
+    tgt_d = jax.device_put(jnp.asarray(tgt))
+    for it in range(iters):
+        epoch = 0 if it < iters * 0.45 else 100
+        state, _ = step(state, imgs_d, tgt_d, np.float32(8e-6),
+                        np.int32(epoch))
+
+    folded = fold_batchnorm(net, state.params, state.batch_stats)
+    ctx = EvalContext(pts, np.concatenate(
+        [pts[1:].T, np.ones((1, 8), np.float32)]), K, 0.107, 640, 480)
+
+    def acc_at_5px(head) -> tuple:
+        decoded = decode_grid(head.astype(jnp.float32), 9, 13, 5)
+        errs = []
+        for b in range(B):
+            for cls, pix_gt in gt_per_img[b]:
+                box = np.asarray(best_box_for_class(decoded, cls, 0.05))[b]
+                pr = box[:18].reshape(9, 2) * [640, 480]
+                m = pose_metrics(pix_gt[None].astype(np.float32),
+                                 pr[None].astype(np.float32), ctx)
+                errs.append(float(np.atleast_1d(m["err_2d"])[0]))
+        errs = np.asarray(errs)
+        return 100.0 * float((errs <= 5).mean()), float(errs.mean())
+
+    acc_bf16, px_bf16 = acc_at_5px(
+        net.apply_folded(folded, imgs_d, compute_dtype=jnp.bfloat16))
+    amax = calibrate_activations(net, folded, imgs_d)
+    qparams = quantize_folded(net, folded, amax)
+    acc_int8, px_int8 = acc_at_5px(apply_quantized(net, qparams, imgs_d))
+    return {
+        "acc2d5px_multi_bf16": round(acc_bf16, 2),
+        "acc2d5px_multi_int8": round(acc_int8, 2),
+        "int8_multi_acc_delta": round(acc_int8 - acc_bf16, 2),
+        "int8_multi_px_delta": round(px_int8 - px_bf16, 3),
+        "int8_multi_eval_n": 3 * B,
     }
 
 
@@ -1008,10 +1236,14 @@ def main():
         extra["infer_fps_multi"] = round(bench_infer_multi(), 1)
         extra["pnp_poses_per_sec"] = round(bench_pnp(), 1)
         # serving-latency regime: on-device ms for ONE frame's forward+decode
-        # (reference "real-time" context: ~20 ms/frame on a Titan X)
-        extra["serving_latency_ms_b1"] = round(1000 / bench_infer(batch=1), 2)
-        extra["serving_latency_ms_b1_int8"] = round(
-            1000 / bench_infer(quantize=True, batch=1), 2)
+        # (reference "real-time" context: ~20 ms/frame on a Titan X).  The
+        # two-point chain fit cancels the tunnel's fixed dispatch round-trip
+        # (reported separately) — see bench_latency_b1's docstring.
+        lat_bf16, dispatch = bench_latency_b1()
+        lat_int8, _ = bench_latency_b1(quantize=True)
+        extra["serving_latency_ms_b1"] = round(lat_bf16, 3)
+        extra["serving_latency_ms_b1_int8"] = round(lat_int8, 3)
+        extra["serving_dispatch_ms"] = round(dispatch, 2)
     if args.only in (None, "train"):
         step_ms, tps = bench_train_step()
         extra["train_step_ms_b8"] = round(step_ms, 2)
@@ -1021,6 +1253,10 @@ def main():
                 bench_train_step_dp_mesh(), 2)
         _, tps128 = bench_train_step(batch=128, chain=8)
         extra["train_sps_b128"] = round(tps128, 1)
+        m_ms, _ = bench_train_multi_step()          # reference batch 32
+        extra["train_multi_step_ms_b32"] = round(m_ms, 2)
+        _, m_tps128 = bench_train_multi_step(batch=128, chain=8)
+        extra["train_multi_sps_b128"] = round(m_tps128, 1)
         try:
             extra["train_e2e_sps"] = round(bench_train_e2e(), 1)
         except (RuntimeError, OSError):
@@ -1051,6 +1287,11 @@ def main():
         except Exception as e:
             print(f"# int8 accuracy bench failed: {e!r}")
             extra["int8_acc_delta"] = None
+        try:
+            extra.update(bench_int8_acc_multi())
+        except Exception as e:
+            print(f"# int8 multi accuracy bench failed: {e!r}")
+            extra["int8_multi_acc_delta"] = None
     if synth_pending:
         # Last resort: run the synth group inline, in THIS parent process.
         # BENCH_r02 proved the parent's client survives the whole run even
@@ -1082,6 +1323,11 @@ def main():
         if extra.get("train_sps_b128"):
             extra["mfu_train_b128"] = round(
                 extra["train_sps_b128"] * 3 * gf / V5E_PEAK_BF16, 3)
+        if extra.get("train_multi_sps_b128"):
+            from singleshotpose_tpu.zoo import yolo_pose_multi
+            gf_m = _model_flops_per_frame(yolo_pose_multi(), SIZE)
+            extra["mfu_train_multi"] = round(
+                extra["train_multi_sps_b128"] * 3 * gf_m / V5E_PEAK_BF16, 3)
 
     if fps is None:                 # --only train/eval: still one JSON line
         metric, value = next(iter(extra.items()))

@@ -60,10 +60,54 @@ def test_infer_bench_body_traces(monkeypatch):
     assert fps > 0
 
 
+def test_latency_b1_bench_two_point_fit(monkeypatch):
+    """bench_latency_b1's chain fit at tiny scale on CPU: slope must be
+    positive and the fixed dispatch non-negative (the fit clamps)."""
+    monkeypatch.setattr(bench, "SIZE", 64)
+    slope_ms, fixed_ms = bench.bench_latency_b1(n_lo=1, n_hi=3)
+    assert slope_ms > 0 and fixed_ms >= 0
+
+
 def test_train_step_bench_body_traces(monkeypatch):
     monkeypatch.setattr(bench, "SIZE", 64)
     step_ms, sps = bench.bench_train_step(batch=2, chain=1)
     assert step_ms > 0 and sps > 0
+
+
+def test_train_multi_step_bench_body_traces(monkeypatch):
+    """Pure multi-object step bench (synthesis excluded): 160-ch head, 5
+    anchors, CE class loss.  Pins the loss_config_from_spec(multi=True) →
+    make_train_step handoff bench.py relies on for train_multi_step_ms_b32."""
+    monkeypatch.setattr(bench, "SIZE", 64)
+    step_ms, sps = bench.bench_train_multi_step(batch=2, chain=1)
+    assert step_ms > 0 and sps > 0
+
+
+def test_int8_acc_bench_multi_seed_contract(monkeypatch, tmp_path):
+    """bench_int8_acc's seed loop + spread aggregation at tiny scale on CPU.
+
+    Pins the seeded Loader/run_validation composition and the field set the
+    round artifact publishes (mean, min..max range, n, seeds)."""
+    monkeypatch.setattr(bench, "SIZE", 64)
+    r = bench.bench_int8_acc(n_train=8, n_eval=4, n_epochs=1, batch=4,
+                             seeds=(0, 1))
+    assert r["int8_seeds"] == 2 and r["int8_eval_n"] == 8
+    assert r["int8_acc_delta_range"][0] <= r["int8_acc_delta"] \
+        <= r["int8_acc_delta_range"][1]
+    assert r["int8_px_delta_range"][0] <= round(r["int8_px_delta"], 3) + 1e-6
+    assert all(np.isfinite(v) for v in
+               (r["acc2d5px_bf16"], r["acc2d5px_int8"], r["int8_px_delta"]))
+
+
+def test_int8_acc_multi_bench_body_traces(monkeypatch):
+    """bench_int8_acc_multi end to end at tiny scale on CPU: multi net
+    training, fold, calibrate→quantize→apply_quantized, class-picked decode,
+    pose_metrics.  Pins the quantized valid-multi eval composition."""
+    monkeypatch.setattr(bench, "SIZE", 64)
+    r = bench.bench_int8_acc_multi(n_scenes=2, iters=2)
+    assert r["int8_multi_eval_n"] == 6
+    assert np.isfinite(r["int8_multi_acc_delta"])
+    assert np.isfinite(r["int8_multi_px_delta"])
 
 
 def test_train_e2e_device_bank_bench_body_traces(monkeypatch, tmp_path):
