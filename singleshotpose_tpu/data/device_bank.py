@@ -82,6 +82,8 @@ class DeviceFrameBank(NamedTuple):
         return self.images.shape[1], self.images.shape[2]     # (H, W)
 
     def device_put(self, device=None) -> "DeviceFrameBank":
+        from ..utils.memory import check_hbm_budget
+        check_hbm_budget(self.nbytes(), "device_bank frame bank")
         return jax.tree.map(lambda a: jax.device_put(a, device), self)
 
     def nbytes(self) -> int:

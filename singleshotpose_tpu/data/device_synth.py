@@ -153,6 +153,10 @@ class DeviceSceneBank(NamedTuple):
         return self.images.shape[1], self.images.shape[2]   # (H, W)
 
     def device_put(self, device=None) -> "DeviceSceneBank":
+        # preflight: a full-LINEMOD bank is ~3 GB; fail with guidance
+        # instead of an opaque device OOM mid-training
+        from ..utils.memory import check_hbm_budget
+        check_hbm_budget(self.nbytes(), "device_synth scene bank")
         return jax.tree.map(lambda a: jax.device_put(a, device), self)
 
     def nbytes(self) -> int:

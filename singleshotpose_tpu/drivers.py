@@ -613,15 +613,9 @@ def _bank_bytes(n_frames: int, out_shape: Tuple[int, int],
 
 
 def _hbm_free_bytes() -> Optional[int]:
-    """Device-memory headroom, or None when the backend has no accounting
-    (CPU/interpreters — there the 'bank' lives in host RAM anyway)."""
-    try:
-        stats = jax.local_devices()[0].memory_stats() or {}
-    except Exception:
-        return None
-    if "bytes_limit" not in stats:
-        return None
-    return int(stats["bytes_limit"]) - int(stats.get("bytes_in_use", 0))
+    """Device-memory headroom (shared accounting: utils/memory.py)."""
+    from .utils.memory import hbm_free_bytes
+    return hbm_free_bytes()
 
 
 def _resolve_eval_transfer(rc: "TrainRunConfig", need_bytes: int) -> str:
@@ -800,7 +794,27 @@ def run_training(datacfg: str, modelcfg: Union[str, DarknetSpec],
     if ckpt is not None:
         ckpt.save(processed_batches, state, wait=True)
         ckpt.close()
+    _save_final_if_unsaved(spec, state, best_acc, backupdir,
+                           processed_batches * batch_size, rc)
     return {"state": state, "best_acc": best_acc, "history": history}
+
+
+def _save_final_if_unsaved(spec, state, best_acc, backupdir, seen, rc=None):
+    """A run that never reached the eval cadence (short runs, max_epochs
+    overrides) would otherwise end with NO ``model.weights`` — the
+    best-checkpoint rule (reference ``train.py:405-409``) only writes on a
+    new best eval accuracy.  Write the final state once so every completed
+    run yields a loadable artifact; untouched when a best save happened.
+    Multi-host: only process 0 writes (replicated params are identical)."""
+    if best_acc != -float("inf") or not backupdir:
+        return
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        return
+    os.makedirs(backupdir, exist_ok=True)
+    path = os.path.join(backupdir, "model.weights")
+    _log(f"no eval ran; saving final weights to {path}")
+    W.save_weights(spec, jax.device_get(state.params),
+                   jax.device_get(state.batch_stats), path, seen=int(seen))
 
 
 def _multihost_local_shard(ds: PoseDataset, batch_size: int, seen0: int,
@@ -1096,6 +1110,8 @@ def run_training_multi(datacfg: str, modelcfg: Union[str, DarknetSpec],
     if ckpt is not None:
         ckpt.save(processed_batches, state, wait=True)
         ckpt.close()
+    _save_final_if_unsaved(spec, state, best_acc, backupdir,
+                           processed_batches * batch_size, rc)
     return {"state": state, "best_acc": best_acc, "history": history}
 
 

@@ -127,3 +127,28 @@ def test_run_training_device_bank_smoke(tmp_path):
     result = run_training(datacfg, str(cfgfile), None, 100, rc)
     losses = result["history"]["training_losses"]
     assert len(losses) == 3 and np.isfinite(losses).all()
+
+
+def test_device_put_hbm_budget_preflight(monkeypatch):
+    """An over-budget bank placement must fail with the actionable message,
+    not an opaque device OOM (utils/memory.check_hbm_budget)."""
+    import numpy as np
+    import pytest
+    from singleshotpose_tpu.data.device_bank import DeviceFrameBank
+    from singleshotpose_tpu.utils import memory as M
+
+    bank = DeviceFrameBank(
+        images=np.zeros((2, 4, 4, 3), np.uint8),
+        masks=np.zeros((2, 4, 4), np.uint8),
+        truths=np.zeros((2, 50, 21), np.float32),
+        n_rows=np.ones(2, np.int32),
+        bgs=np.zeros((1, 4, 4, 3), np.uint8))
+    monkeypatch.setattr(M, "hbm_free_bytes", lambda: 1 << 20)  # 1 MB free
+    with pytest.raises(RuntimeError, match="device memory"):
+        bank.device_put()
+    # plenty free -> places fine
+    monkeypatch.setattr(M, "hbm_free_bytes", lambda: 64 << 30)
+    bank.device_put()
+    # no accounting (CPU) -> no-op guard
+    monkeypatch.setattr(M, "hbm_free_bytes", lambda: None)
+    bank.device_put()
