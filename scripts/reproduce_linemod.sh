@@ -13,6 +13,15 @@
 #   scripts/reproduce_linemod.sh eval  [objects...]   # eval reference weights
 #   scripts/reproduce_linemod.sh train [objects...]   # full training runs
 #
+# Environment overrides (all optional; defaults = the reference layout):
+#   LINEMOD_ROOT BACKUP_ROOT   data/checkpoint roots
+#   CFG_DIR                    where the rendered .data configs go (default cfg/)
+#   INIT_WEIGHTS BG_DIR        train-mode backbone + VOC background dir
+#   TRAIN_EXTRA_FLAGS VALID_EXTRA_FLAGS   appended verbatim to the CLI calls
+#                              (tests/test_reproduce_scripts.py rehearses this
+#                              script end-to-end on a synthetic fixture with
+#                              TRAIN_EXTRA_FLAGS="--max_epochs 1")
+#
 # Eval loads the reference's own checkpoints through the bit-exact weights
 # codec (tests/test_weights_cross_ab.py), so matching numbers here are a
 # direct accuracy-parity proof against /root/reference's valid.py tables.
@@ -28,39 +37,45 @@ fi
 
 export LINEMOD_ROOT="${LINEMOD_ROOT:-LINEMOD}"
 export BACKUP_ROOT="${BACKUP_ROOT:-backup}"
+export CFG_DIR="${CFG_DIR:-cfg}"
+INIT_WEIGHTS="${INIT_WEIGHTS:-cfg/darknet19_448.conv.23}"
+BG_DIR="${BG_DIR:-VOCdevkit/VOC2012/JPEGImages}"
 
-mkdir -p cfg
+mkdir -p "$CFG_DIR"
 python - "$@" <<'EOF'
 import os, sys
 sys.path.insert(0, os.getcwd())
 from singleshotpose_tpu.zoo import linemod_datacfg, LINEMOD_OBJECTS
 root = os.environ.get("LINEMOD_ROOT", "LINEMOD")
 backup = os.environ.get("BACKUP_ROOT", "backup")
+cfg_dir = os.environ.get("CFG_DIR", "cfg")
 objs = sys.argv[1:] or list(LINEMOD_OBJECTS)
 for obj in objs:
-    with open(f"cfg/{obj}.data", "w") as f:
+    with open(f"{cfg_dir}/{obj}.data", "w") as f:
         f.write(linemod_datacfg(obj, root, backup))
-print(f"rendered {len(objs)} .data configs under cfg/")
+print(f"rendered {len(objs)} .data configs under {cfg_dir}/")
 EOF
 
 for obj in "${OBJECTS[@]}"; do
     echo "=== ${obj} (${MODE}) ==="
     if [ "$MODE" = "train" ]; then
         python -m singleshotpose_tpu.cli train \
-            --datacfg "cfg/${obj}.data" \
+            --datacfg "${CFG_DIR}/${obj}.data" \
             --modelcfg yolo-pose \
-            --initweightfile cfg/darknet19_448.conv.23 \
+            --initweightfile "$INIT_WEIGHTS" \
             --pretrain_num_epochs 15 \
-            --bg_dir VOCdevkit/VOC2012/JPEGImages \
-            --cache_decoded --precompile_buckets
+            --bg_dir "$BG_DIR" \
+            ${TRAIN_BASE_FLAGS:---cache_decoded --precompile_buckets} \
+            ${TRAIN_EXTRA_FLAGS:-}
         WEIGHTS="${BACKUP_ROOT}/${obj}/model.weights"
     else
         WEIGHTS="${BACKUP_ROOT}/${obj}/model_backup.weights"
         [ -f "$WEIGHTS" ] || WEIGHTS="${BACKUP_ROOT}/${obj}/model.weights"
     fi
     python -m singleshotpose_tpu.cli valid \
-        --datacfg "cfg/${obj}.data" \
+        --datacfg "${CFG_DIR}/${obj}.data" \
         --modelcfg yolo-pose \
-        --weightfile "$WEIGHTS"
+        --weightfile "$WEIGHTS" \
+        ${VALID_EXTRA_FLAGS:-}
 done
 echo "Done. Compare the per-object tables with the reference's valid.py output."
