@@ -166,3 +166,23 @@ def test_quantized_int8_pooling_in_graph(tiny):
     assert "reduce_window" in txt, "no reduce_window in lowered graph"
     # the i8 init scalar exists only when the pool itself runs on int8
     assert "tensor<i8>" in txt
+
+
+def test_calibrate_percentile_option():
+    """percentile calibration returns finite stats bounded by the absmax
+    (documented-harmful-on-this-task knob — kept for nets where the
+    activation tail is noise; models/quantize.calibrate_activations)."""
+    import jax, jax.numpy as jnp, numpy as np
+    from singleshotpose_tpu.models.darknet import fold_batchnorm
+    from singleshotpose_tpu.models.quantize import calibrate_activations
+    from singleshotpose_tpu.zoo import yolo_pose_single
+
+    net = yolo_pose_single()
+    params, bstats = net.init_params(jax.random.PRNGKey(0))
+    folded = fold_batchnorm(net, params, bstats)
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3), jnp.float32)
+    amax = calibrate_activations(net, folded, x)
+    p999 = calibrate_activations(net, folded, x, percentile=99.9)
+    assert set(p999) == set(amax)
+    for k in amax:
+        assert np.isfinite(p999[k]) and 0.0 <= p999[k] <= amax[k] + 1e-6
