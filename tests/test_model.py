@@ -141,3 +141,36 @@ def test_bn_preserves_input_dtype_bf16_activation_path():
     got = L.batch_norm(x16, s, b, m + 0, v * (1 - L.BN_EPS))  # inv==1 exactly
     assert jnp.allclose(got.astype(jnp.float32), ref.astype(jnp.float32),
                         rtol=1e-2)
+
+
+def test_fold_batchnorm_jit_cache_matches_eager():
+    """fold_batchnorm runs as one jitted executable per spec (darknet.py:
+    _FOLD_CACHE) — eagerly it is ~90 tiny dispatches, which the in-training
+    eval cadence pays on every eval epoch through the host<->device link.
+    The jitted fold must be numerically identical to the eager impl and
+    must reuse one cached executable per spec."""
+    from singleshotpose_tpu.models import darknet as D
+
+    spec = DarknetSpec.from_cfg(REF_CFG) if os.path.exists(REF_CFG) else None
+    if spec is None:
+        from singleshotpose_tpu.zoo import yolo_pose_single
+        spec = yolo_pose_single()
+    params, stats = spec.init_params(jax.random.PRNGKey(3))
+
+    want = D._fold_batchnorm_impl(spec, params, stats)
+    got = fold_batchnorm(spec, params, stats)
+    assert set(got) == set(want)
+    for name in want:
+        for k in want[name]:
+            np.testing.assert_allclose(np.asarray(got[name][k]),
+                                       np.asarray(want[name][k]),
+                                       rtol=1e-6, atol=1e-6)
+
+    # same spec -> same cached executable (no growth); fresh values still fold
+    fn = D._FOLD_CACHE[spec]
+    params2, stats2 = spec.init_params(jax.random.PRNGKey(4))
+    got2 = fold_batchnorm(spec, params2, stats2)
+    assert D._FOLD_CACHE[spec] is fn
+    name = next(n for n in got2 if "w" in got2[n])
+    assert not np.allclose(np.asarray(got2[name]["w"]),
+                           np.asarray(got[name]["w"]))
