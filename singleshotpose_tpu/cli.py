@@ -182,6 +182,12 @@ def cmd_valid(argv: Sequence[str]) -> int:
                         "planes (device converts; fewest h2d bytes), or "
                         "bank (split decoded once into HBM; repeated evals "
                         "are link-free)")
+    p.add_argument("--add_s", action="store_true",
+                   help="score the 3D-transform metric as ADD-S (nearest-"
+                        "neighbour vertex distance) — the standard protocol "
+                        "for symmetric LINEMOD objects (eggbox, glue); "
+                        "default is index-matched ADD for every object, "
+                        "matching the reference eval")
     args = p.parse_args(argv)
     _require_file(args.datacfg, "data config")
     if isinstance(args.quantize, str):
@@ -190,7 +196,8 @@ def cmd_valid(argv: Sequence[str]) -> int:
     from .drivers import run_validation
     spec = _resolve_model(args.modelcfg)
     kw = dict(save=args.save, quantize=args.quantize,
-              transfer=args.transfer, mesh=_mesh_from_dp(args.dp))
+              transfer=args.transfer, mesh=_mesh_from_dp(args.dp),
+              add_s=args.add_s)
     if isinstance(args.quantize, str):
         # pre-quantized .npz IS the serving artifact: no f32 weights needed
         run_validation(args.datacfg, spec, None, **kw)

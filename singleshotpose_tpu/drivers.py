@@ -177,7 +177,7 @@ def _eval_pass(spec: DarknetSpec, params, batch_stats, loader: Loader,
                transfer: str = "rgb",
                out_shape: Optional[Tuple[int, int]] = None,
                quantize: Union[bool, str] = False,
-               mesh=None):
+               mesh=None, add_s: bool = False):
     """Shared eval loop: (forward → decode → pick box) in ONE executable per
     batch → batched metrics at the end.
 
@@ -305,7 +305,8 @@ def _eval_pass(spec: DarknetSpec, params, batch_stats, loader: Loader,
     scale = np.tile(np.array([ctx.im_width, ctx.im_height], np.float32), K)
     gt = (np.concatenate(all_gt) * scale).reshape(-1, K, 2)
     pr = (np.concatenate(all_pr) * scale).reshape(-1, K, 2)
-    metrics = pose_metrics(gt, pr, ctx, fix_gt_corners=fix_gt_corners)
+    metrics = pose_metrics(gt, pr, ctx, fix_gt_corners=fix_gt_corners,
+                           symmetric=add_s)
     errors.extend(metrics)
     return errors, {"corners_gt": gt, "corners_pr": pr, "metrics": metrics,
                     "image_idx": np.concatenate(image_idx)}
@@ -319,9 +320,14 @@ def run_validation(datacfg: str, modelcfg: Union[str, DarknetSpec],
                    save: bool = False,
                    transfer: str = "rgb",
                    quantize: Union[bool, str] = False,
-                   mesh=None,
+                   mesh=None, add_s: bool = False,
                    verbose: bool = True) -> Dict[str, float]:
     """Single-object eval (reference ``valid.py``): full 6D metric suite.
+
+    ``add_s=True`` scores the 3D-transform metric as ADD-S (nearest-neighbour
+    vertex distance) for symmetric objects (LINEMOD eggbox/glue).  Default
+    False = index-matched ADD, the reference's behavior for ALL objects
+    (its ``adi``, ``utils.py:60-64``, is defined but never called).
 
     Either ``weightfile`` (darknet binary) or (``params``, ``batch_stats``)
     must be given.  ``save=True`` dumps per-frame R/t/corner files under
@@ -374,7 +380,7 @@ def run_validation(datacfg: str, modelcfg: Union[str, DarknetSpec],
         spec, params, batch_stats, loader, ctx, pick=("best",),
         num_keypoints=spec.num_keypoints, compute_dtype=compute_dtype,
         transfer=fwd_transfer, out_shape=out_shape, quantize=quantize,
-        mesh=mesh)
+        mesh=mesh, add_s=add_s)
     summary = accuracy_summary(errors, ctx.diam)
     if save and artifacts:
         _save_predictions(dcfg, ds, artifacts)

@@ -106,12 +106,21 @@ def gt_corner_boxes(target_row: np.ndarray, num_keypoints: int = 9,
 
 def pose_metrics(corners2d_gt: np.ndarray, corners2d_pr: np.ndarray,
                  ctx: EvalContext, *, pnp_iters: int = 15,
-                 fix_gt_corners: bool = False) -> Dict[str, np.ndarray]:
+                 fix_gt_corners: bool = False,
+                 symmetric: bool = False) -> Dict[str, np.ndarray]:
     """Batched metric computation for (B,9,2) pixel-space keypoints.
 
     Runs gt and pred PnP in one 2B-sized batched solve, then the five error
     families of ``valid.py:137-177``.  ``fix_gt_corners`` applies the
     OCCLUSION GT corner permutation (``valid_multi.py:132``).
+
+    ``symmetric=True`` computes the 3D error as ADD-S (mean nearest-neighbour
+    vertex distance, Hinterstoisser's symmetric-object protocol) instead of
+    the index-matched ADD.  The reference *defines* ``adi`` (``utils.py:
+    60-64``) but never calls it — its eval scores the symmetric LINEMOD
+    objects (eggbox, glue) with plain ADD.  Default matches the reference;
+    opt in via ``run_validation(add_s=True)`` / ``ssp valid --add_s`` when
+    comparing against papers that report ADD-S for those objects.
     """
     B = corners2d_gt.shape[0]
     gt = np.asarray(corners2d_gt, np.float32)
@@ -150,7 +159,15 @@ def pose_metrics(corners2d_gt: np.ndarray, corners2d_pr: np.ndarray,
 
     cam_gt = np.einsum("bij,jn->bin", Rt_gt, V)
     cam_pr = np.einsum("bij,jn->bin", Rt_pr, V)
-    err_3d = np.linalg.norm(cam_gt - cam_pr, axis=1).mean(axis=1)
+    if symmetric:
+        from .utils.geometry import adi
+        # ADD-S: per-frame nearest-neighbour distance (gt points queried
+        # against a KD-tree of predicted points, matching reference adi's
+        # argument order).  Host loop — opt-in, eval-only.
+        err_3d = np.array([adi(cam_pr[b].T, cam_gt[b].T)
+                           for b in range(B)], np.float32)
+    else:
+        err_3d = np.linalg.norm(cam_gt - cam_pr, axis=1).mean(axis=1)
 
     return {"err_2d": err_2d, "err_3d": err_3d, "err_trans": err_trans,
             "err_angle": err_angle, "err_corner2d": err_corner,

@@ -113,3 +113,44 @@ def test_box3d_iou():
     Rt3 = Rt.copy()
     Rt3[0, 3] += 0.04
     assert box3d_iou(Rt, Rt3, corners, grid=40) == pytest.approx(1/3, rel=0.06)
+
+
+def test_add_s_symmetric_object():
+    """symmetric=True scores err_3d as ADD-S (nearest-neighbour distance,
+    reference adi utils.py:60-64 — defined there but never called): a pose
+    off by exactly the object's symmetry rotation has large index-matched
+    ADD but ~zero ADD-S.  Default (symmetric=False) must keep reporting
+    plain ADD, the reference's behavior for every object."""
+    # vertex set invariant under 45-degree rotation about z: two 8-point
+    # rings (radius 5 cm at z = +/-2 cm)
+    ang = np.arange(8) * (2 * np.pi / 8)
+    ring = np.stack([0.05 * np.cos(ang), 0.05 * np.sin(ang)], 1)
+    verts = np.concatenate(
+        [np.concatenate([ring, np.full((8, 1), z)], 1) for z in (-.02, .02)]
+    ).astype(np.float32)
+    vertices = np.concatenate([verts, np.ones((16, 1), np.float32)], 1).T
+    from singleshotpose_tpu.utils.geometry import get_3D_corners
+    corners3d = get_3D_corners(vertices)[:3].T
+    pts3d = np.concatenate([np.zeros((1, 3), np.float32),
+                            corners3d]).astype(np.float32)
+    K = get_camera_intrinsic(325.2611, 242.0489, 572.4114, 573.5704)
+    ctx = EvalContext(pts3d, vertices, K.astype(np.float32), 0.12, 640, 480)
+
+    c, s = np.cos(np.pi / 4), np.sin(np.pi / 4)
+    Rz45 = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+    t = np.array([0.02, -0.01, 0.6], np.float32)
+    gt = _project(ctx.points_3d, np.eye(3, dtype=np.float32), t, ctx.intrinsics)[None]
+    pr = _project(ctx.points_3d, Rz45, t, ctx.intrinsics)[None]
+
+    m_add = pose_metrics(gt, pr, ctx)
+    m_adds = pose_metrics(gt, pr, ctx, symmetric=True)
+    # index-matched ADD sees the 45-degree swing of a 5 cm-radius ring
+    assert m_add["err_3d"][0] > 0.02
+    # ADD-S: the rotated ring lands exactly on itself
+    assert m_adds["err_3d"][0] < 2e-3
+    # every non-3D error family is untouched by the flag
+    for k in ("err_2d", "err_trans", "err_angle", "err_corner2d"):
+        np.testing.assert_allclose(m_adds[k], m_add[k], rtol=1e-6)
+    # equal poses: ADD-S agrees with ADD at zero
+    m0 = pose_metrics(gt, gt.copy(), ctx, symmetric=True)
+    assert m0["err_3d"][0] < 1e-3
