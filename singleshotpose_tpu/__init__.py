@@ -52,6 +52,7 @@ _LAZY = {
     "load_serving": ("singleshotpose_tpu.serving", "load_serving"),
     "aot_serving": ("singleshotpose_tpu.serving", "aot_serving"),
     "save_exported": ("singleshotpose_tpu.serving", "save_exported"),
+    "MicroBatcher": ("singleshotpose_tpu.serving", "MicroBatcher"),
 }
 
 __all__ = ["config", "__version__"] + sorted(_LAZY)

@@ -40,7 +40,7 @@ from .ops.decode import (best_box_for_class, best_boxes, best_boxes_per_class,
                          decode_grid)
 
 __all__ = ["make_serving_fn", "export_serving", "save_exported",
-           "load_serving", "aot_serving"]
+           "load_serving", "aot_serving", "MicroBatcher"]
 
 # (pick-mode, extras) accepted by make_serving_fn / the eval driver alike:
 #   None / ("grid",)            → decoded grid (B, nA·H·W, 2K+3+C)-ish pytree
@@ -164,6 +164,191 @@ def aot_serving(spec: DarknetSpec, params, *, batch: int, width: int,
                                     compute_dtype=compute_dtype))
     arg = jax.ShapeDtypeStruct((batch, height, width, 3), input_dtype)
     return serve.lower(arg).compile()
+
+
+class MicroBatcher:
+    """Dynamic micro-batching front end for a serving function.
+
+    The TPU serving tension: the MXU wants batches (measured 416² bf16:
+    ~4,240 fps at batch 128 vs ~1,400 at batch 1 — the per-frame cost drops
+    3× with batch), but online requests arrive one at a time.  The standard
+    resolution — what every production TPU server does — is a small queue
+    that coalesces concurrently-pending requests into one batch, **pads to a
+    fixed bucket size** so each bucket is ONE pre-compiled executable (no
+    retrace, static shapes — the same bucketing discipline as multi-scale
+    training), runs the fused serving function, and fans the per-request
+    results back out.  The reference has no serving layer at all (its eval
+    loop is bs=1, ``valid.py:100``).
+
+    ``serve_fn``: ``images (B,H,W,3) -> pytree`` with a leading batch dim on
+    every leaf — anything from :func:`make_serving_fn` (jitted),
+    :func:`aot_serving` per bucket, or :func:`load_serving`.  When given a
+    single callable it is used for every bucket; pass a dict
+    ``{bucket: fn}`` (e.g. from ``aot_serving``) for zero-compile serving.
+
+    Latency policy: a batch closes when the largest bucket fills OR
+    ``max_delay_ms`` has elapsed since its first request — a lone request
+    pays at most ``max_delay_ms`` extra, a burst gets MXU-efficient batches.
+
+    Pipelined: the batch thread *dispatches* (JAX dispatch is non-blocking)
+    and a resolver thread blocks on results, so batch k+1's host→device
+    transfer overlaps batch k's compute — the same async discipline as the
+    eval loop (``drivers._eval_pass``).  ``max_in_flight`` bounds queued
+    device work (2 = classic double buffering).  Measured through the dev
+    tunnel — the link-bound WORST case, every frame still crosses a
+    ~40 MB/s link individually — 16 concurrent clients run 1.5–1.6× the
+    serial batch-1 client (31–37 vs 20–24 fps across tunnel-load levels).
+    The on-device economics the batcher unlocks are much larger: batch-128
+    serving is ~3× cheaper per frame than batch-1 (0.24 vs 0.72 ms), which
+    is the realized win when the host link is PCIe instead of this tunnel.
+
+    Thread-safe; use as a context manager or call :meth:`close`.
+    """
+
+    _STOP = object()
+
+    def __init__(self, serve_fn, *, height: int, width: int,
+                 buckets: Sequence[int] = (1, 2, 4, 8, 16, 32),
+                 max_delay_ms: float = 2.0, input_dtype="uint8",
+                 max_in_flight: int = 2, start: bool = True):
+        import numpy as np
+        self._np = np
+        self._buckets = tuple(sorted(set(int(b) for b in buckets)))
+        if not self._buckets or self._buckets[0] < 1:
+            raise ValueError(f"bad buckets {buckets!r}")
+        self._fns = (dict(serve_fn) if isinstance(serve_fn, dict)
+                     else {b: serve_fn for b in self._buckets})
+        missing = [b for b in self._buckets if b not in self._fns]
+        if missing:
+            raise ValueError(f"no serve_fn for buckets {missing}")
+        self._shape = (height, width, 3)
+        self._dtype = np.dtype(input_dtype)
+        self._max_delay = max_delay_ms / 1e3
+        import queue as _queue
+        import threading
+        self._queue: "_queue.Queue" = _queue.Queue()
+        self._inflight: "_queue.Queue" = _queue.Queue(
+            maxsize=max(int(max_in_flight), 1))
+        self._closed = False
+        self._thread = threading.Thread(target=self._worker, daemon=True,
+                                        name="ssp-microbatcher")
+        self._resolver = threading.Thread(target=self._resolve, daemon=True,
+                                          name="ssp-microbatcher-resolver")
+        self._started = False
+        if start:
+            self.start()
+
+    def start(self):
+        if not self._started:
+            self._started = True
+            self._thread.start()
+            self._resolver.start()
+        return self
+
+    def submit(self, image):
+        """Enqueue one frame; returns a ``concurrent.futures.Future`` whose
+        result is this frame's slice of the serving output pytree."""
+        from concurrent.futures import Future
+        if self._closed:
+            raise RuntimeError("MicroBatcher is closed")
+        img = self._np.asarray(image, self._dtype)
+        if img.shape != self._shape:
+            raise ValueError(f"frame shape {img.shape} != {self._shape}")
+        fut = Future()
+        self._queue.put((img, fut))
+        return fut
+
+    def infer(self, image, timeout: Optional[float] = None):
+        """Blocking one-frame inference through the batcher."""
+        return self.submit(image).result(timeout)
+
+    def _collect(self):
+        """One batch: first request blocks; then drain until the largest
+        bucket fills or max_delay since the first request elapses."""
+        import queue as _queue
+        import time
+        item = self._queue.get()
+        if item is self._STOP:
+            return None
+        batch = [item]
+        deadline = time.monotonic() + self._max_delay
+        max_b = self._buckets[-1]
+        while len(batch) < max_b:
+            remaining = deadline - time.monotonic()
+            try:
+                item = self._queue.get(
+                    timeout=max(remaining, 0) if remaining > 0 else None,
+                    block=remaining > 0)
+            except _queue.Empty:
+                break
+            if item is self._STOP:
+                self._queue.put(self._STOP)   # re-post for the outer loop
+                break
+            batch.append(item)
+        return batch
+
+    def _worker(self):
+        """Collect + DISPATCH only (non-blocking); the resolver thread
+        blocks on device results, so the next batch's assembly and h2d
+        overlap the current batch's compute."""
+        np = self._np
+        while True:
+            batch = self._collect()
+            if batch is None:
+                self._inflight.put(self._STOP)
+                break
+            n = len(batch)
+            bucket = next(b for b in self._buckets if b >= n)
+            imgs = np.zeros((bucket,) + self._shape, self._dtype)
+            for i, (img, _) in enumerate(batch):
+                imgs[i] = img
+            try:
+                out = self._fns[bucket](imgs)     # async dispatch
+            except Exception as e:     # noqa: BLE001 — fan the error out
+                for _, fut in batch:
+                    fut.set_exception(e)
+                continue
+            self._inflight.put((out, batch))      # bounded: backpressure
+
+    def _resolve(self):
+        while True:
+            item = self._inflight.get()
+            if item is self._STOP:
+                break
+            out, batch = item
+            try:
+                host = jax.device_get(out)
+            except Exception as e:     # noqa: BLE001 — device-side failure
+                for _, fut in batch:
+                    fut.set_exception(e)
+                continue
+            for i, (_, fut) in enumerate(batch):
+                fut.set_result(jax.tree.map(lambda a: a[i], host))
+
+    def close(self):
+        """Stop accepting requests, drain the queue, join the threads."""
+        if self._closed:
+            return
+        self._closed = True
+        self._queue.put(self._STOP)
+        if self._started:
+            self._thread.join()
+            self._resolver.join()
+        # reject anything racing close(): fail pending futures loudly
+        import queue as _queue
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except _queue.Empty:
+                break
+            if item is not self._STOP:
+                item[1].set_exception(RuntimeError("MicroBatcher closed"))
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.close()
 
 
 def _parse_pick(pick: str, conf_thresh: float, cls: int) -> Pick:

@@ -183,3 +183,100 @@ def _blocks_to_cfg(blocks):
         lines.extend(f"{k}={v}" for k, v in b.items() if k != "type")
         lines.append("")
     return "\n".join(lines)
+
+
+# ---------------------------------------------------------------------------
+# MicroBatcher: dynamic micro-batching front end
+# ---------------------------------------------------------------------------
+
+
+def test_microbatcher_results_match_direct(tiny):
+    """Every request through the batcher gets ITS frame's result, identical
+    to calling the serving fn directly (padding rows never leak)."""
+    spec, folded, _ = tiny
+    serve = jax.jit(S.make_serving_fn(spec, folded, pick=("best",),
+                                      compute_dtype=jnp.float32))
+    rng = np.random.RandomState(5)
+    frames = rng.randint(0, 256, (11, 64, 64, 3), np.uint8)
+    want = np.asarray(serve(jnp.asarray(frames)))
+    with S.MicroBatcher(serve, height=64, width=64,
+                        buckets=(1, 2, 4, 8), max_delay_ms=5.0) as mb:
+        futs = [mb.submit(f) for f in frames]
+        got = np.stack([f.result(timeout=60) for f in futs])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_microbatcher_coalesces_to_buckets(tiny):
+    """Requests queued before the worker starts coalesce into ONE padded
+    bucket call (5 requests -> one batch-8 call), and every batch shape the
+    serving fn ever sees is a configured bucket size."""
+    spec, folded, _ = tiny
+    inner = jax.jit(S.make_serving_fn(spec, folded, pick=("best",),
+                                      compute_dtype=jnp.float32))
+    calls = []
+
+    def spy(imgs):
+        calls.append(imgs.shape[0])
+        return inner(imgs)
+
+    rng = np.random.RandomState(6)
+    frames = rng.randint(0, 256, (5, 64, 64, 3), np.uint8)
+    mb = S.MicroBatcher(spy, height=64, width=64, buckets=(1, 2, 4, 8),
+                        max_delay_ms=1.0, start=False)
+    futs = [mb.submit(f) for f in frames]
+    mb.start()
+    res = [f.result(timeout=60) for f in futs]
+    mb.close()
+    assert calls == [8]                       # one call, padded 5 -> 8
+    assert all(r.shape == (21,) for r in res)  # 2K+3 box per request
+
+
+def test_microbatcher_close_and_errors(tiny):
+    spec, folded, _ = tiny
+    serve = jax.jit(S.make_serving_fn(spec, folded, pick=("best",),
+                                      compute_dtype=jnp.float32))
+    mb = S.MicroBatcher(serve, height=64, width=64, buckets=(1, 2),
+                        max_delay_ms=1.0)
+    # wrong frame shape rejected up front
+    with pytest.raises(ValueError):
+        mb.submit(np.zeros((32, 32, 3), np.uint8))
+    mb.close()
+    with pytest.raises(RuntimeError):
+        mb.submit(np.zeros((64, 64, 3), np.uint8))
+    # a serving-fn failure fans out as the future's exception
+    def boom(imgs):
+        raise RuntimeError("kernel on fire")
+    mb2 = S.MicroBatcher(boom, height=64, width=64, buckets=(1,),
+                         max_delay_ms=1.0)
+    fut = mb2.submit(np.zeros((64, 64, 3), np.uint8))
+    with pytest.raises(RuntimeError, match="kernel on fire"):
+        fut.result(timeout=60)
+    mb2.close()
+
+
+def test_microbatcher_per_bucket_fns(tiny):
+    """A {bucket: fn} dict (the aot_serving deployment shape) routes each
+    batch to its bucket's executable."""
+    spec, folded, _ = tiny
+    used = []
+
+    def make(b):
+        inner = jax.jit(S.make_serving_fn(spec, folded, pick=("best",),
+                                          compute_dtype=jnp.float32))
+        def fn(imgs):
+            assert imgs.shape[0] == b
+            used.append(b)
+            return inner(imgs)
+        return fn
+
+    fns = {b: make(b) for b in (1, 4)}
+    rng = np.random.RandomState(7)
+    mb = S.MicroBatcher(fns, height=64, width=64, buckets=(1, 4),
+                        max_delay_ms=1.0, start=False)
+    futs = [mb.submit(rng.randint(0, 256, (64, 64, 3), np.uint8))
+            for _ in range(3)]
+    mb.start()
+    for f in futs:
+        f.result(timeout=60)
+    mb.close()
+    assert used and set(used) <= {1, 4}
