@@ -18,6 +18,7 @@ with the reference's ``len(...)*100/(n+1e-5)`` accuracy convention.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Dict, List, Sequence
 
 import numpy as np
@@ -33,6 +34,9 @@ __all__ = ["EvalContext", "PoseErrors", "pose_metrics", "accuracy_summary",
 
 EPS = 1e-5
 PX_THRESHOLD = 5.0
+
+# EvalContext cache (see EvalContext.from_data_config)
+_CTX_CACHE: Dict = {}
 
 
 @dataclasses.dataclass
@@ -50,7 +54,34 @@ class EvalContext:
                          use_cfg_diam: bool = False) -> "EvalContext":
         """``use_cfg_diam=False`` recomputes the diameter from mesh vertices —
         what the reference *actually* does (its ``options['diam']`` read is a
-        dead NameError branch, ``valid.py:69-72``)."""
+        dead NameError branch, ``valid.py:69-72``).
+
+        Cached per (mesh file + mtime/size + intrinsics + image dims): the
+        in-training eval cadence calls this every eval epoch, and for real
+        LINEMOD meshes the ASCII PLY parse plus the O(n²) diameter are
+        host-seconds the repeated evals should not re-pay (reference
+        re-reads too, ``valid.py:66-72`` — per bs=1 *process*, not per
+        epoch)."""
+        try:
+            st = os.stat(dcfg.mesh)
+            file_id = (st.st_mtime_ns, st.st_size)
+        except OSError:
+            file_id = None
+        key = (dcfg.mesh, file_id, dcfg.fx, dcfg.fy, dcfg.u0, dcfg.v0,
+               dcfg.width, dcfg.height, use_cfg_diam,
+               dcfg.diam if use_cfg_diam else None)
+        hit = _CTX_CACHE.get(key)
+        if hit is not None:
+            return hit
+        ctx = cls._build_from_data_config(dcfg, use_cfg_diam=use_cfg_diam)
+        _CTX_CACHE[key] = ctx
+        while len(_CTX_CACHE) > 32:          # bound: 13 objects × few dims
+            _CTX_CACHE.pop(next(iter(_CTX_CACHE)))
+        return ctx
+
+    @classmethod
+    def _build_from_data_config(cls, dcfg: DataConfig, *,
+                                use_cfg_diam: bool = False) -> "EvalContext":
         mesh = MeshPly(dcfg.mesh)
         verts = np.asarray(mesh.vertices, np.float32)
         vertices = np.concatenate(

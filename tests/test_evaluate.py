@@ -154,3 +154,40 @@ def test_add_s_symmetric_object():
     # equal poses: ADD-S agrees with ADD at zero
     m0 = pose_metrics(gt, gt.copy(), ctx, symmetric=True)
     assert m0["err_3d"][0] < 1e-3
+
+
+def test_eval_context_cache(tmp_path):
+    """from_data_config caches per (mesh file id, intrinsics, dims): the
+    in-training eval cadence re-enters every eval epoch and must not re-pay
+    the ASCII PLY parse + O(n^2) diameter; editing the mesh file on disk
+    invalidates (mtime/size key)."""
+    from singleshotpose_tpu.config import DataConfig
+
+    ply = tmp_path / "m.ply"
+
+    def write_ply(scale):
+        verts = [(x * scale, y * scale, z * scale)
+                 for x in (0, 1) for y in (0, 1) for z in (0, 1)]
+        lines = ["ply", "format ascii 1.0",
+                 f"element vertex {len(verts)}",
+                 "property float x", "property float y", "property float z",
+                 "element face 0",
+                 "property list uchar int vertex_indices", "end_header"]
+        lines += [f"{x} {y} {z}" for x, y, z in verts]
+        ply.write_text("\n".join(lines) + "\n")
+
+    write_ply(0.01)
+    dcfg = DataConfig(mesh=str(ply))
+    c1 = EvalContext.from_data_config(dcfg)
+    c2 = EvalContext.from_data_config(dcfg)
+    assert c2 is c1                      # cache hit, same object
+    assert EvalContext.from_data_config(
+        dcfg, use_cfg_diam=True) is not c1   # different key
+
+    import os as _os
+    write_ply(0.02)                      # bigger object
+    st = _os.stat(ply)
+    _os.utime(ply, ns=(st.st_atime_ns, st.st_mtime_ns + 1))
+    c3 = EvalContext.from_data_config(dcfg)
+    assert c3 is not c1
+    assert c3.diam > c1.diam * 1.5       # rebuilt from the new file
