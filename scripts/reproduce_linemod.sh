@@ -25,6 +25,11 @@
 # Eval loads the reference's own checkpoints through the bit-exact weights
 # codec (tests/test_weights_cross_ab.py), so matching numbers here are a
 # direct accuracy-parity proof against /root/reference's valid.py tables.
+#
+# Symmetric objects (eggbox, glue): the reference scores them with plain
+# ADD (its adi is never called), which this script reproduces.  For the
+# ADD-S protocol used by most published tables, re-run those two with
+# VALID_EXTRA_FLAGS="--add_s".
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
