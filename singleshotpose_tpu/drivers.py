@@ -335,7 +335,9 @@ def run_validation(datacfg: str, modelcfg: Union[str, DarknetSpec],
     (reference: ``valid.py:186-197,231-233``).  ``transfer="yuv420"`` ships
     native-size YUV 4:2:0 planes and converts + resizes on device — ≥2.9×
     fewer host→device bytes (needs the native loader; input pixels differ
-    from the RGB path by the chroma round-trip, ≲2 u8 levels).
+    from the RGB path only by the JPEG chroma round-trip — luma is ~exact,
+    ≲2 u8 levels total on photographic content; tests/test_yuv.py bounds
+    both and checks trained-net metric equivalence).
     ``transfer="bank"`` decodes the split ONCE into an HBM-resident eval
     bank (``data/eval_bank.py``, LRU-cached across calls): repeated evals —
     the in-training cadence, reference ``train.py:395`` — then run with zero

@@ -8,6 +8,90 @@ import jax.numpy as jnp
 
 from singleshotpose_tpu.ops.yuv import yuv420_to_rgb_resized
 
+# 4-conv net for the trained-net transfer parity test: 8×8 grid at 128 px,
+# enough capacity to fully overfit 4 shaded frames (100% pose metrics,
+# ~1.4 px mean reprojection error after 600 steps) while staying CPU-CI fast.
+SMALL_CFG = """
+[net]
+batch=4
+channels=3
+num_keypoints=9
+learning_rate=0.001
+momentum=0.9
+decay=0.0005
+steps=-1
+scales=0.1
+max_epochs=2
+test_width=128
+test_height=128
+conf_thresh=0.1
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[maxpool]
+size=2
+stride=2
+
+[convolutional]
+batch_normalize=1
+filters=32
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[maxpool]
+size=2
+stride=2
+
+[convolutional]
+batch_normalize=1
+filters=64
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[maxpool]
+size=2
+stride=2
+
+[convolutional]
+batch_normalize=1
+filters=64
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[maxpool]
+size=2
+stride=2
+
+[convolutional]
+batch_normalize=0
+filters=20
+size=1
+stride=1
+pad=1
+activation=linear
+
+[region]
+anchors =
+classes=1
+coords=18
+num=1
+object_scale=5
+noobject_scale=0.1
+thresh = 0.6
+"""
+
 
 def _np_reference(y, cbcr, out_w, out_h):
     """Same math in numpy: ×2 nearest chroma upsample, BT.601, center-sample
@@ -70,29 +154,149 @@ def test_native_yuv420_roundtrip_close_to_rgb(tmp_path):
     assert np.percentile(diff, 99) < 16, np.percentile(diff, 99)
 
 
-def test_eval_transfer_yuv420_matches_rgb(tmp_path):
-    """run_validation(transfer='yuv420') produces the same metric suite as
-    the RGB path within tolerance on the synthetic set."""
+def _native_or_skip(nthreads=1):
+    try:
+        from singleshotpose_tpu.native import NativeLoader
+        return NativeLoader(nthreads=nthreads)
+    except (RuntimeError, OSError, ImportError) as e:
+        pytest.skip(f"native loader unavailable: {e}")
+
+
+def test_eval_transfer_input_tensor_parity(tmp_path):
+    """THE yuv420 regression gate: the device-converted eval input tensor vs
+    the host RGB eval input tensor, on the same frames, at eval size.
+
+    The two paths legitimately differ ONLY by the JPEG 4:2:0 chroma
+    round-trip (libjpeg fancy-upsampled decode vs encoder 2×2 box subsample
+    → our nearest upsample), which is confined to the chrominance plane.
+    So the assertions are decomposed:
+
+      * luma (BT.601 Y of the delta) must be ~exact — any bug in the
+        conversion matrix, plane indexing, chroma alignment, or the resize
+        picks shifts Y.  Measured on this fixture: mean 0.19, max 8.8 u8
+        levels (worst-case per-pixel-noise content).  Bound: mean < 1.0,
+        max < 16.
+      * overall PSNR > 27 dB.  Measured: 31.1 dB on noise content — the
+        chroma floor.  A channel swap or off-by-one upsample lands < 15 dB.
+
+    Unlike the former random-net metric-delta assertion (which bounded how
+    a random net AMPLIFIES this legitimate chroma loss — seed/host hostage),
+    these bounds test the transfer path itself and cannot be flipped by
+    network luck.  Reference input contract being protected: valid.py:110-116.
+    """
+    from test_drivers import _make_synthetic_linemod
+    from singleshotpose_tpu.config import read_data_cfg
+
+    datacfg, _ = _make_synthetic_linemod(tmp_path)
+    paths = [ln.strip() for ln in
+             open(read_data_cfg(datacfg)["valid"]) if ln.strip()]
+    nl = _native_or_skip()
+
+    W = H = 128  # TINY_CFG eval size
+    rgb = nl.test_batch_u8(paths, W, H).astype(np.float32) / 255.0
+    y, cbcr = nl.test_batch_yuv420(paths)
+    out = np.asarray(yuv420_to_rgb_resized(jnp.asarray(y), jnp.asarray(cbcr),
+                                           out_w=W, out_h=H))
+    assert out.shape == rgb.shape == (6, H, W, 3)
+
+    delta = (out - rgb) * 255.0
+    luma = np.abs(delta @ np.array([0.299, 0.587, 0.114], np.float32))
+    assert luma.mean() < 1.0, f"luma drift mean {luma.mean():.3f} u8"
+    assert luma.max() < 16.0, f"luma drift max {luma.max():.3f} u8"
+    psnr = 10 * np.log10(255.0 ** 2 / max((delta ** 2).mean(), 1e-12))
+    assert psnr > 27.0, f"yuv420 path PSNR {psnr:.2f} dB vs host rgb"
+
+
+def test_eval_transfer_yuv420_trained_net(tmp_path):
+    """Metric-suite equivalence on a TRAINED net: overfit a small net on
+    shaded-render frames (photographic-smooth content — data/shaded.py),
+    then run the full eval in both transfer modes on the training frames.
+    A trained net's predictions are locked to image structure, so the
+    chroma round-trip (≲2 u8 levels on smooth content) must not move the
+    metrics materially."""
+    import jax
+    from singleshotpose_tpu.config import parse_cfg
+    from singleshotpose_tpu.data.pipeline import Loader, PoseDataset
+    from singleshotpose_tpu.data.shaded import make_shaded_linemod
+    from singleshotpose_tpu.drivers import run_validation
+    from singleshotpose_tpu.models.darknet import DarknetSpec
+    from singleshotpose_tpu.ops.losses import RegionLossConfig
+    from singleshotpose_tpu.training import init_train_state, make_train_step
+    from singleshotpose_tpu.utils.labels import read_truths
+
+    _native_or_skip()
+    n = 4
+    make_shaded_linemod(str(tmp_path), n_train=n, n_test=2, seed=3)
+    # eval the TRAINING frames: transfer-path parity, not generalization
+    datacfg = str(tmp_path / "overfit.data")
+    base = (tmp_path / "shaded.data").read_text()
+    (tmp_path / "overfit.data").write_text(
+        base.replace("test.txt", "train.txt"))
+
+    cfgfile = tmp_path / "small.cfg"
+    cfgfile.write_text(SMALL_CFG)
+    spec = DarknetSpec(parse_cfg(str(cfgfile)))
+    state = init_train_state(*spec.init_params(jax.random.PRNGKey(0)))
+    step = make_train_step(spec, RegionLossConfig.single(
+        pretrain_num_epochs=15), weight_decay=0.0, momentum=0.9)
+
+    ds = PoseDataset(str(tmp_path / "train.txt"), train=False)
+    ld = Loader(ds, batch_size=n, fixed_shape=(128, 128), shuffle=False,
+                num_workers=0, drop_last=False)
+    imgs_np, _ = next(iter(ld))
+    tgt = np.zeros((n, 50 * 21), np.float32)
+    for i, line in enumerate(ds.lines):
+        tr = read_truths(line.replace("JPEGImages", "labels")
+                         .replace(".jpg", ".txt")).reshape(-1)
+        tgt[i, :tr.size] = tr
+    imgs = jnp.asarray(imgs_np)
+    tgtj = jnp.asarray(tgt)
+    for it in range(600):
+        epoch = 0 if it < 150 else 100  # coords-only warmup, then + conf
+        lr = np.float32(1e-3 if it < 420 else 2e-4)
+        state, stats = step(state, imgs, tgtj, lr, np.int32(epoch))
+    assert np.isfinite(float(stats["loss"]))
+
+    kw = dict(params=state.params, batch_stats=state.batch_stats,
+              batch_size=n, num_workers=0, compute_dtype=None, verbose=False)
+    s_rgb = run_validation(datacfg, spec, transfer="rgb", **kw)
+    s_yuv = run_validation(datacfg, spec, transfer="yuv420", **kw)
+    assert s_yuv["n_samples"] == s_rgb["n_samples"] == n
+    # the net must be genuinely trained for this check to mean anything
+    # (measured: 1.35 px mean reprojection error, 100% on all metrics)
+    assert s_rgb["mean_err_2d"] < 5.0, s_rgb
+    assert s_rgb["acc_2d_proj"] >= 75.0, s_rgb
+    # trained-net predictions under the chroma round-trip: sub-pixel shift
+    # (measured 0.34 px; bound has 4× headroom but a broken yuv path —
+    # plane swap, matrix, misalignment — lands at hundreds of px)
+    assert abs(s_yuv["mean_err_2d"] - s_rgb["mean_err_2d"]) < 1.5, \
+        (s_yuv, s_rgb)
+    assert s_yuv["acc_2d_proj"] >= 75.0, s_yuv
+
+
+def test_eval_transfer_yuv420_smoke(tmp_path):
+    """Loose random-net smoke: both transfer modes run end-to-end on the
+    same split and produce finite metrics over the same sample count.  (The
+    tight parity lives in the input-tensor test above — a random net
+    amplifies legitimate chroma deltas unboundedly, so no tight metric
+    bound is asserted here.)"""
     import jax
     from singleshotpose_tpu.drivers import run_validation
     from test_drivers import TINY_CFG, _make_synthetic_linemod
+    from singleshotpose_tpu.config import parse_cfg
+    from singleshotpose_tpu.models.darknet import DarknetSpec
 
+    _native_or_skip()
     datacfg, _ = _make_synthetic_linemod(tmp_path)
     cfgfile = tmp_path / "tiny.cfg"
     cfgfile.write_text(TINY_CFG)
-    from singleshotpose_tpu.config import parse_cfg
-    from singleshotpose_tpu.models.darknet import DarknetSpec
     spec = DarknetSpec(parse_cfg(str(cfgfile)))
     params, bstats = spec.init_params(jax.random.PRNGKey(0))
 
     kw = dict(params=params, batch_stats=bstats, batch_size=3,
               num_workers=0, compute_dtype=None, verbose=False)
-    try:
-        s_yuv = run_validation(datacfg, spec, transfer="yuv420", **kw)
-    except (RuntimeError, OSError) as e:
-        pytest.skip(f"native loader unavailable: {e}")
+    s_yuv = run_validation(datacfg, spec, transfer="yuv420", **kw)
     s_rgb = run_validation(datacfg, spec, transfer="rgb", **kw)
     assert s_yuv["n_samples"] == s_rgb["n_samples"] == 6
-    # random-net predictions: pixel-level input deltas shift errors slightly
-    assert abs(s_yuv["mean_err_2d"] - s_rgb["mean_err_2d"]) \
-        < 0.05 * max(s_rgb["mean_err_2d"], 1.0)
+    assert np.isfinite(s_yuv["mean_err_2d"])
+    assert np.isfinite(s_rgb["mean_err_2d"])
