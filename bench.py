@@ -190,6 +190,111 @@ def bench_latency_b1(quantize: bool = False, n_lo: int = 100,
     return slope_ms, max(fixed_ms, 0.0)
 
 
+def bench_microbatch(duration: float = 8.0, n_hi: int = 16,
+                     buckets=(1, 2, 4, 8, 16)) -> dict:
+    """Driver-captured serving-concurrency numbers for the MicroBatcher.
+
+    Closed-loop clients (each submits one 416² uint8 frame, blocks on its
+    result, repeats) against AOT-compiled per-bucket serving executables —
+    the deployment configuration ``serving.MicroBatcher`` documents.  Two
+    load levels: 1 client (serial baseline: every request is a batch-1
+    dispatch) and ``n_hi`` concurrent clients (the coalescing regime).
+
+    Reported per level: completed requests/s and client-observed latency
+    p50/p99 (includes the queue wait, h2d, device compute, and the d2h
+    device_get — the full serving path; through this dev tunnel the fixed
+    ~25 ms dispatch round-trip dominates, see ``serving_dispatch_ms``), plus
+    the mean realized batch size (frames per device dispatch) at high load —
+    the direct measure of how well coalescing is working.
+
+    The reference has no serving layer (``valid.py:36-57`` ships the whole
+    torch stack); this benches the framework's own flagship subsystem.
+    """
+    import threading
+
+    from singleshotpose_tpu.models.darknet import fold_batchnorm
+    from singleshotpose_tpu.serving import MicroBatcher, aot_serving
+    from singleshotpose_tpu.zoo import yolo_pose_single
+
+    net = yolo_pose_single()
+    params, bstats = net.init_params(jax.random.PRNGKey(0))
+    folded = jax.device_put(fold_batchnorm(net, params, bstats))
+
+    calls = {b: 0 for b in buckets}
+    calls_lock = threading.Lock()
+    fns = {}
+    for b in buckets:
+        aot = aot_serving(net, folded, batch=b, width=SIZE, height=SIZE,
+                          pick=("best",))
+
+        def counted(imgs, _b=b, _f=aot):
+            with calls_lock:
+                calls[_b] += 1
+            return _f(imgs)
+
+        fns[b] = counted
+    frame = (np.random.RandomState(0).rand(SIZE, SIZE, 3) * 255).astype(
+        np.uint8)
+
+    def run_level(n_clients):
+        with calls_lock:
+            for b in buckets:
+                calls[b] = 0
+        lats = []
+        lat_lock = threading.Lock()
+        stop = threading.Event()
+
+        mb = MicroBatcher(fns, height=SIZE, width=SIZE, buckets=buckets,
+                          max_delay_ms=2.0)
+
+        def client():
+            while not stop.is_set():
+                t0 = time.perf_counter()
+                mb.infer(frame)
+                dt = time.perf_counter() - t0
+                with lat_lock:
+                    lats.append(dt)
+
+        with mb:
+            # warm every bucket executable through the full dispatch path
+            # (AOT skips tracing, but the first execution of each program
+            # still pays the tunnel's program-load cost — without this the
+            # p99 times warmup, not steady state)
+            for b in buckets:
+                jax.block_until_ready(
+                    fns[b](np.zeros((b,) + (SIZE, SIZE, 3), np.uint8)))
+            mb.infer(frame)                     # warm the batcher path
+            with calls_lock:
+                for b in buckets:
+                    calls[b] = 0
+            threads = [threading.Thread(target=client)
+                       for _ in range(n_clients)]
+            t0 = time.perf_counter()
+            for t in threads:
+                t.start()
+            time.sleep(duration)
+            stop.set()
+            for t in threads:
+                t.join()
+            dt = time.perf_counter() - t0
+        with calls_lock:
+            n_batches = sum(calls.values())
+        lats_ms = np.sort(np.asarray(lats)) * 1e3
+        return {"fps": len(lats) / dt,
+                "p50_ms": float(np.percentile(lats_ms, 50)),
+                "p99_ms": float(np.percentile(lats_ms, 99)),
+                "mean_bucket": len(lats) / max(n_batches, 1)}
+
+    lo = run_level(1)
+    hi = run_level(n_hi)
+    return {"microbatch_fps_1c": round(lo["fps"], 1),
+            "microbatch_fps_16c": round(hi["fps"], 1),
+            "microbatch_p50_ms_1c": round(lo["p50_ms"], 1),
+            "microbatch_p50_ms": round(hi["p50_ms"], 1),
+            "microbatch_p99_ms": round(hi["p99_ms"], 1),
+            "microbatch_mean_bucket": round(hi["mean_bucket"], 2)}
+
+
 def bench_infer_multi():
     """Multi-object (OCCLUSION) inference fps: 160-ch head, 5 anchors, fused
     per-class box pick (the reference hot path ``valid_multi.py:89-123``)."""
@@ -671,6 +776,43 @@ def bench_train_e2e_device_bank(batch: int = TRAIN_BATCH):
     state, n = epoch(state)
     dt = time.perf_counter() - t0
     return n / dt
+
+
+def bench_loader_scaling(workers=(1, 2, 4, 8), batch: int = 32,
+                         min_seconds: float = 2.5) -> dict:
+    """Host-loader worker scaling: native decode+augment frames/s at
+    1/2/4/8 pool threads (no device in the loop).
+
+    Each level drives the full train-mode path — JPEG decode, mask decode,
+    background composite, crop/jitter/HSV — through the C++ thread pool
+    (``native/ssp_native.cpp``) and counts emitted frames.  Published next
+    to ``loader_host_cores`` because the curve's ceiling is the host:
+    on this 1-core dev host the levels should be FLAT (that flatness is the
+    evidence the pool adds no serialization overhead); on an n-core TPU VM
+    the same bench produces the real scaling curve.  Turns the single-core
+    "~575 fps/core decode" claim (docs/design.md §8b) into a measured curve.
+    """
+    from singleshotpose_tpu.data.pipeline import Loader, PoseDataset
+
+    base = TRAIN_BASE
+    _gen_eval_dataset(base, EVAL_FRAMES, masks=True)
+    out = {"loader_host_cores": len(os.sched_getaffinity(0))
+           if hasattr(os, "sched_getaffinity") else os.cpu_count()}
+    for w in workers:
+        ds = PoseDataset(f"{base}/test.txt", train=True,
+                         bg_file_names=[f"{base}/bg.jpg"])
+        loader = Loader(ds, batch, schedule=None, fixed_shape=(SIZE, SIZE),
+                        num_workers=w, seed=0, out_uint8=True,
+                        backend="native")
+        for _, labels in loader:        # warm: page cache + pool spin-up
+            pass
+        t0 = time.perf_counter()
+        n = 0
+        while time.perf_counter() - t0 < min_seconds:
+            for _, labels in loader:
+                n += len(labels)
+        out[f"loader_fps_w{w}"] = round(n / (time.perf_counter() - t0), 1)
+    return out
 
 
 def _gen_eval_dataset(base: str, n: int, masks: bool = False) -> str:
@@ -1208,7 +1350,7 @@ def _synth_group_in_subprocess():
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", choices=["infer", "train", "synth", "eval",
-                                       "int8acc"],
+                                       "int8acc", "microbatch", "loader"],
                     default=None, help="run a single group (default: all; "
                     "'synth' runs in a subprocess from the default run)")
     ap.add_argument("--synth_scale", choices=["full", "small", "probe"],
@@ -1245,6 +1387,11 @@ def main():
         extra["serving_latency_ms_b1"] = round(lat_bf16, 3)
         extra["serving_latency_ms_b1_int8"] = round(lat_int8, 3)
         extra["serving_dispatch_ms"] = round(dispatch, 2)
+        try:
+            extra.update(bench_microbatch())
+        except Exception as e:
+            print(f"# microbatch bench failed: {e!r}")
+            extra["microbatch_fps_16c"] = None
     if args.only in (None, "train"):
         step_ms, tps = bench_train_step()
         extra["train_step_ms_b8"] = round(step_ms, 2)
@@ -1268,8 +1415,17 @@ def main():
         except (RuntimeError, OSError) as e:
             extra["train_e2e_device_bank_sps"] = None
             print(f"# device_bank bench failed: {e!r}")
+        try:
+            extra.update(bench_loader_scaling())
+        except (RuntimeError, OSError) as e:
+            extra["loader_fps_w1"] = None
+            print(f"# loader scaling bench failed: {e!r}")
     if args.only == "synth":
         extra.update(_run_synth_group(args.synth_scale))
+    if args.only == "microbatch":
+        extra.update(bench_microbatch())
+    if args.only == "loader":
+        extra.update(bench_loader_scaling())
     if args.only in (None, "eval"):
         eval_fps = bench_eval_e2e()
         extra["eval_e2e_fps"] = round(eval_fps["rgb"], 1) \

@@ -73,15 +73,12 @@ def build_eval_bank(dataset, out_shape: Tuple[int, int], batch_size: int, *,
 
     if dataset.train:
         raise ValueError("EvalBank is a test-mode construct")
-    if jax.process_count() > 1:
-        # device_put of a full host array onto a NamedSharding is invalid
-        # when this process only owns a slice of the mesh; the multi-host
-        # path needs make_array_from_process_local_data.  In-training eval
-        # is gated off under multi-host (drivers), so fail loudly here
-        # rather than let a future caller hit an opaque runtime error.
-        raise NotImplementedError(
-            "build_eval_bank assumes a single-process mesh; use "
-            "jax.make_array_from_process_local_data for multi-host")
+    if jax.process_count() > 1 and mesh is None:
+        # a default device_put would park the bank on this process's local
+        # device only — meaningless in a multi-controller program.  The
+        # multi-host path below needs the global mesh to place shards.
+        raise ValueError("build_eval_bank under multi-host needs the global "
+                         "mesh (pass mesh=...)")
     loader = Loader(dataset, batch_size, shuffle=False, schedule=None,
                     fixed_shape=out_shape, num_workers=num_workers,
                     drop_last=False, out_uint8=True)
@@ -110,7 +107,18 @@ def build_eval_bank(dataset, out_shape: Tuple[int, int], batch_size: int, *,
                 f"transfer='bank' under a mesh needs batch_size divisible "
                 f"by the data axis ({batch_size} % {dp})")
         sharding = NamedSharding(mesh, P(None, "data"))
-        dev_images = jax.device_put(images, sharding)
+        if jax.process_count() > 1:
+            # Multi-host: every process decoded the identical full split
+            # (the eval set is NOT dataset-sharded — host-side metrics need
+            # the whole split's labels anyway), so each process materializes
+            # exactly its addressable shards from its full host copy.
+            # make_array_from_callback fits this replicated-host-data shape
+            # better than make_array_from_process_local_data (which expects
+            # each process to hold only its own slice).
+            dev_images = jax.make_array_from_callback(
+                images.shape, sharding, lambda idx: images[idx])
+        else:
+            dev_images = jax.device_put(images, sharding)
     else:
         dev_images = jax.device_put(images)
     return EvalBank(images=dev_images, labels=labels, n=n)

@@ -239,6 +239,7 @@ def _eval_pass(spec: DarknetSpec, params, batch_stats, loader: Loader,
     forward = _eval_forward(spec, compute_dtype, transfer, out_shape, pick)
 
     dp = 1
+    multihost = mesh is not None and jax.process_count() > 1
     if mesh is not None:
         from .parallel.sharding import (batch_sharding,
                                         folded_param_shardings, replicated)
@@ -246,11 +247,17 @@ def _eval_pass(spec: DarknetSpec, params, batch_stats, loader: Loader,
         if quantize:
             # int8 pytree ({"wq","sw","sa","b"}): replicate; the batch axis
             # still shards, which is where multi-chip eval wins anyway
-            folded = jax.tree.map(
-                lambda a: jax.device_put(a, replicated(mesh)), folded)
+            shardings = jax.tree.map(lambda _: replicated(mesh), folded)
         else:
-            folded = jax.tree.map(jax.device_put, folded,
-                                  folded_param_shardings(spec, mesh))
+            shardings = folded_param_shardings(spec, mesh)
+        if multihost:
+            # multi-controller: device_put cannot reshard onto devices this
+            # process doesn't own; a jitted identity with out_shardings is
+            # the SPMD reshard every process executes in lockstep (works for
+            # global training-state params AND replicated host pytrees)
+            folded = jax.jit(lambda t: t, out_shardings=shardings)(folded)
+        else:
+            folded = jax.tree.map(jax.device_put, folded, shardings)
 
         def _shard(a):
             if isinstance(a, jax.Array):
@@ -262,7 +269,13 @@ def _eval_pass(spec: DarknetSpec, params, batch_stats, loader: Loader,
                 pad = (-a.shape[0]) % dp
                 a = np.concatenate(
                     [a, np.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
-            return jax.device_put(a, batch_sharding(mesh, a.ndim))
+            sh = batch_sharding(mesh, a.ndim)
+            if multihost:
+                # every process decoded the same full batch (the eval split
+                # is not dataset-sharded); each materializes its own shards
+                return jax.make_array_from_callback(a.shape, sh,
+                                                    lambda idx: a[idx])
+            return jax.device_put(a, sh)
     else:
         _shard = jnp.asarray
 
@@ -278,7 +291,16 @@ def _eval_pass(spec: DarknetSpec, params, batch_stats, loader: Loader,
         else:
             boxes = forward(folded, _shard(images))
         pending.append((boxes, labels))
-    all_boxes = jax.device_get([b for b, _ in pending])
+    boxes_list = [b for b, _ in pending]
+    if multihost:
+        # boxes are sharded over the data axis, which spans processes —
+        # replicate (one SPMD program over the whole list) so every host
+        # can pull the full set and run the identical metric suite
+        from jax.sharding import NamedSharding, PartitionSpec
+        reps = jax.tree.map(
+            lambda _: NamedSharding(mesh, PartitionSpec()), boxes_list)
+        boxes_list = jax.jit(lambda t: t, out_shardings=reps)(boxes_list)
+    all_boxes = jax.device_get(boxes_list)
 
     # vectorized GT gather (same order as the reference's nested image/GT
     # loops, valid.py:117-130): "break at first empty slot" via cumprod
@@ -646,6 +668,20 @@ def _resolve_eval_transfer(rc: "TrainRunConfig", need_bytes: int) -> str:
     """
     if rc.eval_transfer != "auto":
         return rc.eval_transfer
+    if jax.process_count() > 1:
+        # the choice must be identical on every host (a per-host HBM read
+        # can diverge); process 0 decides, everyone follows
+        from jax.experimental import multihost_utils
+        pick = _resolve_eval_transfer_local(rc, need_bytes) \
+            if jax.process_index() == 0 else "rgb"
+        code = multihost_utils.broadcast_one_to_all(
+            np.int32(0 if pick == "bank" else 1))
+        return "bank" if int(code) == 0 else "rgb"
+    return _resolve_eval_transfer_local(rc, need_bytes)
+
+
+def _resolve_eval_transfer_local(rc: "TrainRunConfig",
+                                 need_bytes: int) -> str:
     free = _hbm_free_bytes()
     if free is None:
         return "bank"
@@ -942,11 +978,12 @@ def _train_epochs(spec, state_box, loader, step, net, steps, scales,
             ckpt.save(processed_batches, state)
 
         if (epoch % rc.eval_every == 0) and (epoch > rc.eval_after):
-            if jax.process_count() > 1:
-                # in-training eval needs locally-addressable params; under a
-                # multi-host mesh run the eval offline from a checkpoint
-                _log("skipping in-training eval under multi-host mesh")
-                continue
+            # Multi-host runs this too (reference cadence train.py:395-396):
+            # every process executes the identical eval as one SPMD program
+            # (batches assembled per-process, box picks replicated before the
+            # host metric suite — _eval_pass; bank built via
+            # make_array_from_callback — data/eval_bank.py), so acc/best_acc
+            # stay bit-identical across hosts.  Only process 0 touches disk.
             transfer = _resolve_eval_transfer(rc, _bank_bytes(
                 _valid_split_frames(datacfg),
                 (spec.net.test_width, spec.net.test_height),
@@ -962,16 +999,21 @@ def _train_epochs(spec, state_box, loader, step, net, steps, scales,
             history["testing_accuracies"].append(acc)
             history["testing_errors_pixel"].append(summary["mean_err_2d"])
             history["testing_errors_angle"].append(summary["mean_err_angle"])
-            np.savez(os.path.join(backupdir, "costs.npz"),
-                     **{k: np.asarray(v) for k, v in history.items()})
+            if jax.process_index() == 0:
+                np.savez(os.path.join(backupdir, "costs.npz"),
+                         **{k: np.asarray(v) for k, v in history.items()})
             if acc > best_acc:
                 best_acc = acc
                 _log("best model so far!")
-                _log(f"save weights to {backupdir}/model.weights")
-                W.save_weights(spec, jax.device_get(state.params),
-                               jax.device_get(state.batch_stats),
-                               os.path.join(backupdir, "model.weights"),
-                               seen=int(jax.device_get(state.seen)))
+                if jax.process_index() == 0:
+                    # params/stats replicate over "data", so every distinct
+                    # shard has a process-0-addressable replica: device_get
+                    # is legal here even on a multi-host mesh
+                    _log(f"save weights to {backupdir}/model.weights")
+                    W.save_weights(spec, jax.device_get(state.params),
+                                   jax.device_get(state.batch_stats),
+                                   os.path.join(backupdir, "model.weights"),
+                                   seen=int(jax.device_get(state.seen)))
     return processed_batches, best_acc
 
 
@@ -1146,11 +1188,8 @@ def _multi_epoch_body(epoch, spec, state_box, loader, step, net, steps,
 
     if eval_datacfgs and (epoch % rc.eval_every == 0) \
             and (epoch > rc.eval_after):
-        if jax.process_count() > 1:
-            # in-training eval needs locally-addressable params; under a
-            # multi-host mesh run the eval offline from a checkpoint
-            _log("[multi] skipping in-training eval under multi-host mesh")
-            return processed_batches, best_acc
+        # multi-host capable: same SPMD-eval + process-0-writes discipline
+        # as the single trainer (_train_epochs)
         # the sweep accumulates one bank per object in the LRU — budget all
         out_shape = (spec.net.test_width, spec.net.test_height)
         need = sum(_bank_bytes(_valid_split_frames(dc), out_shape,
@@ -1169,15 +1208,17 @@ def _multi_epoch_body(epoch, spec, state_box, loader, step, net, steps,
         mean_acc = float(np.mean(accs)) if accs else float("nan")
         history["testing_iters"].append(processed_batches)
         history["testing_accuracies"].append(mean_acc)
-        np.savez(os.path.join(backupdir, "costs.npz"),
-                 **{k: np.asarray(v) for k, v in history.items()})
+        if jax.process_index() == 0:
+            np.savez(os.path.join(backupdir, "costs.npz"),
+                     **{k: np.asarray(v) for k, v in history.items()})
         if mean_acc > best_acc:
             best_acc = mean_acc
             _log("[multi] best model so far!")
-            W.save_weights(spec, jax.device_get(state.params),
-                           jax.device_get(state.batch_stats),
-                           os.path.join(backupdir, "model.weights"),
-                           seen=int(jax.device_get(state.seen)))
+            if jax.process_index() == 0:
+                W.save_weights(spec, jax.device_get(state.params),
+                               jax.device_get(state.batch_stats),
+                               os.path.join(backupdir, "model.weights"),
+                               seen=int(jax.device_get(state.seen)))
     return processed_batches, best_acc
 
 

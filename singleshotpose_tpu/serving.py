@@ -194,13 +194,18 @@ class MicroBatcher:
     and a resolver thread blocks on results, so batch k+1's host→device
     transfer overlaps batch k's compute — the same async discipline as the
     eval loop (``drivers._eval_pass``).  ``max_in_flight`` bounds queued
-    device work (2 = classic double buffering).  Measured through the dev
-    tunnel — the link-bound WORST case, every frame still crosses a
-    ~40 MB/s link individually — 16 concurrent clients run 1.5–1.6× the
-    serial batch-1 client (31–37 vs 20–24 fps across tunnel-load levels).
-    The on-device economics the batcher unlocks are much larger: batch-128
-    serving is ~3× cheaper per frame than batch-1 (0.24 vs 0.72 ms), which
-    is the realized win when the host link is PCIe instead of this tunnel.
+    device work (2 = classic double buffering).  Driver-captured numbers
+    (``bench.py bench_microbatch`` → ``microbatch_*`` fields in BENCH_r05,
+    measured through the dev tunnel — the link-bound WORST case, every
+    frame individually crossing a ~40 MB/s link): 16 closed-loop clients
+    reach 3.6× the serial batch-1 client (``microbatch_fps_16c`` 61.4 vs
+    ``microbatch_fps_1c`` 17.1), coalescing to ``microbatch_mean_bucket``
+    8.0 frames per dispatch, with client-observed p50/p99 of 253/396 ms at
+    full 16-client saturation (closed-loop latency ≈ clients/throughput —
+    the fps, not the latency, is the signal under this load model).  The
+    on-device economics the batcher unlocks are larger still: batch-128
+    serving is ~3× cheaper per frame than batch-1 (0.24 vs 0.72 ms), the
+    realized win when the host link is PCIe instead of this tunnel.
 
     Thread-safe; use as a context manager or call :meth:`close`.
     """
