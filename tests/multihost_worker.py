@@ -10,7 +10,9 @@ could previously only exercise degenerately (process_count()==1):
   * ``global_batch`` / ``jax.make_array_from_process_local_data`` assembly,
   * cross-host gradient sync through the jitted global-sum loss,
   * collective Orbax save from a multi-process mesh + resume,
-  * the in-training-eval skip gate.
+  * in-training eval UNDER the multi-host mesh (multi-host eval bank via
+    make_array_from_callback, SPMD box-pick replication, process-0 saves),
+  * standalone run_validation over the global mesh (bank + rgb transfers).
 
 Writes a JSON result per process; the parent test asserts cross-process
 agreement (replicated state must be bit-identical on every host) and the
@@ -72,6 +74,12 @@ res["single_losses"] = [float(x) for x in r["history"]["training_losses"]]
 res["single_seen"] = int(jax.device_get(r["state"].seen))
 res["single_fp"] = fingerprint(r["state"].params)
 res["single_mom_fp"] = fingerprint(r["state"].momentum)
+# in-training eval ran UNDER the multi-host mesh (eval_every=1 → epoch 1):
+# the eval bank assembled across processes, the SPMD eval pass replicated
+# the box picks, and every host computed the identical metric suite
+res["eval_accs"] = [float(x) for x in r["history"]["testing_accuracies"]]
+res["eval_errs_px"] = [float(x)
+                       for x in r["history"]["testing_errors_pixel"]]
 
 rc2 = TrainRunConfig(eval_every=100, eval_after=100, num_workers=0,
                      bg_dir="/nonexistent", log_every=100,
@@ -86,11 +94,10 @@ res["resume_seen"] = int(jax.device_get(r2["state"].seen))
 res["resume_fp"] = fingerprint(r2["state"].params)
 
 # ---- export the final multi-host state as darknet weights -----------------
-# In-training eval (and its best-checkpoint save) is gated off under
-# multi-host, so the offline round-trip is: replicate the global state onto
-# every device (one SPMD identity program), device_get the now-addressable
-# value, write the darknet binary from process 0.  The parent validates it
-# single-process — training-on-a-pod, eval-anywhere.
+# Replicate the global state onto every device (one SPMD identity program),
+# device_get the now-addressable value, write the darknet binary from
+# process 0.  The parent validates it single-process — training-on-a-pod,
+# eval-anywhere.
 from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
 
 from singleshotpose_tpu import weights as W  # noqa: E402
@@ -110,6 +117,20 @@ host_stats = to_host(r2["state"].batch_stats)
 if pid == 0:
     W.save_weights(spec, host_params, host_stats,
                    f"{workdir}/final.weights", seen=res["resume_seen"])
+
+# ---- standalone eval of the FINAL state under the multi-host mesh --------
+# the parent re-evaluates final.weights single-process and asserts metric
+# equality — multi-host eval must be a pure execution detail
+from singleshotpose_tpu.drivers import run_validation  # noqa: E402
+
+for transfer in ("bank", "rgb"):
+    s = run_validation(f"{workdir}/synth.data", spec,
+                       params=r2["state"].params,
+                       batch_stats=r2["state"].batch_stats,
+                       batch_size=4, num_workers=0, compute_dtype=None,
+                       transfer=transfer, mesh=mesh, verbose=False)
+    res[f"final_eval_err2d_{transfer}"] = float(s["mean_err_2d"])
+    res[f"final_eval_n_{transfer}"] = int(s["n_samples"])
 
 # ---- multi-object trainer: 1 epoch over the same global mesh ----
 import singleshotpose_tpu.data.synth_multi as sm  # noqa: E402
