@@ -170,8 +170,8 @@ def cmd_valid(argv: Sequence[str]) -> int:
                    help="dump per-frame R/t/corners + predictions .mat")
     p.add_argument("--quantize", nargs="?", const=True, default=False,
                    metavar="QNPZ",
-                   help="serve backbone convs in int8 (the MXU's 2x "
-                        "throughput mode): bare flag calibrates on the "
+                   help="serve backbone convs in int8 (1.45x bf16 "
+                        "throughput at batch 128): bare flag calibrates on the "
                         "first batch; pass a .npz from `ssp quantize` to "
                         "serve a pre-quantized artifact")
     p.add_argument("--dp", type=int, default=0,

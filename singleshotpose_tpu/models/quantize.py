@@ -1,9 +1,12 @@
 """int8 post-training quantization for the folded serving path.
 
 A serving-only capability the reference has no analogue for (its inference is
-f32 torch, ``valid.py:83-87``): TPU v5e's MXU runs int8 matmul/conv at 2× the
-bf16 peak (394 vs 197 TOP/s), so a quantized Darknet forward raises the
-inference-fps ceiling well past the bf16 speed-of-light.
+f32 torch, ``valid.py:83-87``): TPU v5e's MXU int8 nameplate is 2× the bf16
+peak (394 vs 197 TOP/s), so a quantized Darknet forward raises the
+inference-fps ceiling past the bf16 speed-of-light.  Realized end-to-end:
+1.45× at batch 128 — the deep MXU-bound stages get the full ~2×, the
+layout-bound early stages get ~nothing, and the mix is this chip's measured
+floor (docs/design.md §7b attribution table).
 
 Scheme (standard symmetric PTQ, chosen for XLA-fusibility):
 
