@@ -1138,7 +1138,7 @@ def _gen_learnable_dataset(base: str, n_train: int, n_eval: int,
 
 
 def _gen_shaded_dataset(base: str, n_train: int, n_eval: int,
-                        seed: int = 11) -> str:
+                        seed: int = 11, n_splats: int = 2200) -> str:
     """LINEMOD-format shaded-render set (data/shaded.py): depth-buffered,
     face-colored, Lambertian-lit box at DISJOINT train/test poses.  Unlike
     the keypoint-disk canary (``_gen_learnable_dataset``), the pose is NOT
@@ -1161,7 +1161,11 @@ def _gen_shaded_dataset(base: str, n_train: int, n_eval: int,
     colors = rng.randint(60, 255, (6, 3))
     paths = []
     for i in range(n_train + n_eval):
-        img, m, lab, _, _ = render_frame(rng, colors, bg_level=None)
+        # denser splats than the renderer default: solid surfaces and clean
+        # edges (photographic-like), keeping the task honest — pose still
+        # only readable from projected geometry + shading
+        img, m, lab, _, _ = render_frame(rng, colors, bg_level=None,
+                                         n_splats=n_splats)
         img = np.where(m[..., None] > 0, img, bgimg)
         name = f"00{i:04d}"
         Image.fromarray(img).save(f"{base}/obj/JPEGImages/{name}.jpg",
@@ -1191,8 +1195,8 @@ def _gen_shaded_dataset(base: str, n_train: int, n_eval: int,
     return f"{base}/synth.data"
 
 
-def bench_acc_shaded(n_train: int = 384, n_eval: int = 512,
-                     n_epochs: int = 450, batch: int = 32,
+def bench_acc_shaded(n_train: int = 1024, n_eval: int = 512,
+                     n_epochs: int = 250, batch: int = 64,
                      seed: int = 0) -> dict:
     """Held-out-pose generalization on shaded renders — the headline
     accuracy evidence (VERDICT r4 #5) standing in for real LINEMOD
@@ -1223,8 +1227,16 @@ def bench_acc_shaded(n_train: int = 384, n_eval: int = 512,
     loader = Loader(ds, batch, schedule=None, fixed_shape=(SIZE, SIZE),
                     num_workers=0, seed=seed, backend="device_bank")
     for ep in range(n_epochs):
-        epoch_flag = 0 if ep < n_epochs * 0.4 else 100
-        lr = 4e-5 if ep < n_epochs * 0.75 else 8e-6
+        # from-scratch recipe (no ImageNet init exists here, unlike the
+        # reference's darknet19 backbone): conf-pretrain gate for the first
+        # 20%, short warmup, then a 3-step decay.  lr is the per-sample
+        # effective rate (make_train_step convention): 2.5e-5 ≈ the darknet
+        # 0.001/batch rule at b64 — 1.2e-4 was measured to diverge (NaN)
+        epoch_flag = 0 if ep < n_epochs * 0.2 else 100
+        frac = ep / n_epochs
+        lr = 2.5e-5 if frac < 0.6 else (5e-6 if frac < 0.88 else 1e-6)
+        if ep < 3:
+            lr = 5e-6
         for imgs, labels in loader:
             state, _stats = step(state, imgs, labels, np.float32(lr),
                                  np.int32(epoch_flag))
@@ -1612,9 +1624,9 @@ def _synth_group_in_subprocess():
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--only", choices=["infer", "train", "synth", "eval",
-                                       "int8acc", "shadedacc", "microbatch",
-                                       "loader"],
+    ap.add_argument("--only", choices=["infer", "train", "traincost", "synth",
+                                       "eval", "int8acc", "shadedacc",
+                                       "microbatch", "loader"],
                     default=None, help="run a single group (default: all; "
                     "'synth' runs in a subprocess from the default run)")
     ap.add_argument("--synth_scale", choices=["full", "small", "probe"],
@@ -1684,6 +1696,12 @@ def main():
         except (RuntimeError, OSError) as e:
             extra["loader_fps_w1"] = None
             print(f"# loader scaling bench failed: {e!r}")
+    if args.only in (None, "traincost"):
+        try:
+            extra.update(bench_train_cost_model())
+        except Exception as e:
+            print(f"# train cost model failed: {e!r}")
+            extra["traincost_full_ms"] = None
     if args.only == "synth":
         extra.update(_run_synth_group(args.synth_scale))
     if args.only == "microbatch":
