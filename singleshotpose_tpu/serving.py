@@ -197,11 +197,13 @@ class MicroBatcher:
     device work (2 = classic double buffering).  Driver-captured numbers
     (``bench.py bench_microbatch`` → ``microbatch_*`` fields in BENCH_r05,
     measured through the dev tunnel — the link-bound WORST case, every
-    frame individually crossing a ~40 MB/s link): 16 closed-loop clients
-    reach 3.6× the serial batch-1 client (``microbatch_fps_16c`` 61.4 vs
-    ``microbatch_fps_1c`` 17.1), coalescing to ``microbatch_mean_bucket``
-    8.0 frames per dispatch, with client-observed p50/p99 of 253/396 ms at
-    full 16-client saturation (closed-loop latency ≈ clients/throughput —
+    frame individually crossing a ~40 MB/s link; two captures quoted as
+    ranges, the tunnel's load moves between runs): 16 closed-loop clients
+    reach 2.7-3.6× the serial batch-1 client (``microbatch_fps_16c``
+    61-67 vs ``microbatch_fps_1c`` 17-25), coalescing to
+    ``microbatch_mean_bucket`` 8-16 frames per dispatch, with
+    client-observed p50/p99 of 229-253/396-459 ms at full 16-client
+    saturation (closed-loop latency ≈ clients/throughput —
     the fps, not the latency, is the signal under this load model).  The
     on-device economics the batcher unlocks are larger still: batch-128
     serving is ~3× cheaper per frame than batch-1 (0.24 vs 0.72 ms), the
