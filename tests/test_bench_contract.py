@@ -120,3 +120,33 @@ def test_train_e2e_device_bank_bench_body_traces(monkeypatch, tmp_path):
     monkeypatch.setattr(bench, "TRAIN_BASE", str(tmp_path / "bench_train"))
     sps = bench.bench_train_e2e_device_bank(batch=2)
     assert sps > 0
+
+
+def test_train_cost_model_rungs_trace(monkeypatch):
+    """bench_train_cost_model's ablation ladder at tiny scale on CPU.
+
+    Pins the rung bodies against the package (net.apply's train/eval return
+    convention, region_loss/grad/sgd_apply signatures, the fori_loop carry
+    perturbation) and the published traincost_* field set the design.md §8d
+    table is sourced from."""
+    monkeypatch.setattr(bench, "SIZE", 64)
+    r = bench.bench_train_cost_model(batch=2, chain=1)
+    for k in ("traincost_full_ms", "traincost_fwd_ms", "traincost_bwd_ms",
+              "traincost_bn_stats_ms", "traincost_loss_ms",
+              "traincost_opt_ms", "traincost_sgd_alone_ms",
+              "traincost_fwd_mxu_ideal_ms"):
+        assert np.isfinite(r[k]), k
+    assert r["traincost_full_ms"] > 0 and r["traincost_sgd_alone_ms"] > 0
+
+
+def test_shaded_acc_bench_body_traces(monkeypatch):
+    """bench_acc_shaded end to end at tiny scale on CPU: shaded dataset
+    generation (disjoint train/test poses), device_bank training epochs with
+    the warmup/decay schedule, then the bf16 AND int8 run_validation passes
+    and the acc*_shaded field set."""
+    monkeypatch.setattr(bench, "SIZE", 64)
+    r = bench.bench_acc_shaded(n_train=4, n_eval=2, n_epochs=4, batch=2)
+    assert r["shaded_eval_n"] == 2
+    for k in ("acc2d5px_shaded_bf16", "acc2d5px_shaded_int8",
+              "px_err_shaded_bf16", "px_err_shaded_int8"):
+        assert np.isfinite(r[k]), k
