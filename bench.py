@@ -1321,6 +1321,186 @@ def bench_int8_acc(n_train: int = 192, n_eval: int = 256,
     }
 
 
+def _shaded_scene_bank(nf: int, palettes, extents, seed: int = 3):
+    """A REAL shaded-render scene bank: 13 classes × ``nf`` single-object
+    frames (per-class palette + box geometry, masks from the renderer),
+    assembled into the device_synth ``DeviceSceneBank`` layout — the same
+    corpus role LINEMOD singles play for the OCCLUSION trainer."""
+    from singleshotpose_tpu.data.device_synth import DeviceSceneBank
+    from singleshotpose_tpu.data.shaded import render_frame
+    from singleshotpose_tpu.data.synth_multi import (ADD_OBJS,
+                                                     OCCLUSION_CLASSES)
+
+    rng = np.random.RandomState(seed)
+    N = 13 * nf
+    imgs = np.zeros((N, 480, 640, 3), np.uint8)
+    masks = np.zeros((N, 480, 640), np.uint8)
+    labels = np.zeros((N, 21), np.float32)
+    for c in range(13):
+        for j in range(nf):
+            i = c * nf + j
+            img, m, lab, _, _ = render_frame(
+                rng, palettes[c], n_splats=2200, bg_level=(20, 90),
+                ext=tuple(extents[c]), cls=c)
+            imgs[i], masks[i], labels[i] = img, m, lab
+    comp = np.full((14, 8), -1, np.int32)
+    cls_of = {o: i for i, o in enumerate(OCCLUSION_CLASSES)}
+    for obj, names in ADD_OBJS.items():
+        for j, nme in enumerate(names):
+            comp[cls_of[obj], j] = cls_of[nme]
+    yy, xx = np.mgrid[0:480, 0:640]
+    bgs = np.stack([np.stack(
+        [(xx / 640 * 60 + rng.randint(10, 50)),
+         (yy / 480 * 60 + rng.randint(10, 50)),
+         np.full_like(xx, float(rng.randint(20, 70)))],
+        axis=-1).astype(np.uint8) for _ in range(16)])
+    bank = DeviceSceneBank(
+        imgs, masks, labels, (np.arange(13) * nf).astype(np.int32),
+        np.full(13, nf, np.int32), comp, bgs,
+        np.arange(N, dtype=np.int32),
+        np.repeat(np.arange(13), nf).astype(np.int32))
+    return bank.device_put(), N
+
+
+def bench_acc_shaded_multi(nf: int = 160, n_eval: int = 64,
+                           steps: int = 9000, batch: int = 32,
+                           seed: int = 0, chunk: int = 150) -> dict:
+    """Held-out-scene generalization for the MULTI-OBJECT family — the
+    OCCLUSION-protocol analogue of :func:`bench_acc_shaded` (reference
+    metric: ``multi_obj_pose_estimation/valid_multi.py:153-158``).
+
+    Protocol-faithful to the reference: training scenes are synthesized
+    FRESH every batch by the on-device scene-synthesis pipeline
+    (``data/device_synth.py`` — the path ``--loader_backend device_synth``
+    serves) from a corpus of 13×``nf`` single-object shaded renders
+    (per-class face palettes + per-class box geometry), exactly as the
+    OCCLUSION trainer composes scenes from LINEMOD singles.  Evaluation is
+    on ``n_eval`` UNSEEN scenes rendered with true 3D occlusion (one global
+    z-sorted painter, ``data/shaded.py:render_scene_multi``) — a
+    synthesize-train → coherent-scene-eval domain gap mirroring the
+    reference's synthesize-train → real-photo-eval protocol.  Scores
+    class-picked boxes bf16 folded AND int8 with per-class PnP metrics.
+    Complements ``bench_int8_acc_multi`` (fast overfit canary) with a
+    generalizing-net number.
+    """
+    from singleshotpose_tpu.data.augment import resize_nearest
+    from singleshotpose_tpu.data.device_synth import (DeviceSynthStatic,
+                                                      _synthesize_one)
+    from singleshotpose_tpu.data.shaded import box_points, render_scene_multi
+    from singleshotpose_tpu.drivers import loss_config_from_spec
+    from singleshotpose_tpu.evaluate import EvalContext, pose_metrics
+    from singleshotpose_tpu.models.darknet import fold_batchnorm
+    from singleshotpose_tpu.models.quantize import (apply_quantized,
+                                                    calibrate_activations,
+                                                    quantize_folded)
+    from singleshotpose_tpu.ops.decode import best_box_for_class, decode_grid
+    from singleshotpose_tpu.training import init_train_state, make_train_step
+    from singleshotpose_tpu.zoo import yolo_pose_multi
+
+    K = np.array([[572.4114, 0, 325.2611], [0, 573.5704, 242.0489],
+                  [0, 0, 1]], np.float32)
+    base_ext = np.array([.045, .035, .04], np.float32)
+    gen_rng = np.random.RandomState(11)
+    palettes = gen_rng.randint(60, 255, (13, 6, 3))
+    extents = np.stack([base_ext * f for f in np.linspace(0.7, 1.3, 13)])
+
+    def scenes(n, rng):
+        imgs = np.zeros((n, SIZE, SIZE, 3), np.uint8)
+        gts = []
+        for i in range(n):
+            img, g = render_scene_multi(
+                rng, palettes, extents, rng.choice(13, 3, replace=False))
+            imgs[i] = resize_nearest(img, SIZE, SIZE)
+            gts.append([(cls, pix) for cls, _lab, pix in g])
+        return imgs, gts
+    eimgs, egts = scenes(n_eval, np.random.RandomState(seed + 900))
+
+    bank, NB = _shaded_scene_bank(nf, palettes, extents)
+    st = DeviceSynthStatic(propose_scale=4)
+    net = yolo_pose_multi()
+    state = init_train_state(*net.init_params(jax.random.PRNGKey(seed)))
+    cfg = loss_config_from_spec(net, pretrain_num_epochs=15,
+                                im_width=640, im_height=480, multi=True)
+    raw_step = make_train_step(net, cfg, weight_decay=0.0, momentum=0.9,
+                               compute_dtype=jnp.bfloat16, donate=False,
+                               jit_compile=False,
+                               fused_stem=jax.default_backend() == "tpu")
+
+    @partial(jax.jit, static_argnames=("iters",), donate_argnums=(0,))
+    def chained(state, bank, key, lr, epoch_flag, iters):
+        # bank is an ARGUMENT, not a closure capture: closed-over it would
+        # bake 2.6 GB of constants into the compile payload
+        def body(i, carry):
+            state, idx = carry
+            keys = jax.random.split(jax.random.fold_in(key, i), batch)
+            rows = jnp.take(bank.base_index, idx)
+            cls = jnp.take(bank.base_class, idx)
+            imgs, labels = jax.vmap(partial(
+                _synthesize_one, bank, out_w=SIZE, out_h=SIZE, st=st))(
+                    rows, cls, keys)
+            state, _stats = raw_step(state, imgs, labels, lr, epoch_flag)
+            return state, (idx + batch) % NB
+        state, _ = jax.lax.fori_loop(
+            0, iters, body, (state, jnp.arange(batch, dtype=jnp.int32)))
+        return state
+
+    chunk = min(chunk, steps)
+    for it0 in range(0, steps, chunk):
+        frac = it0 / steps
+        # same per-sample-rate ladder as the single-object shaded recipe
+        lr = 2.5e-5 if frac < 0.6 else (5e-6 if frac < 0.88 else 1e-6)
+        if it0 == 0:
+            lr = 5e-6                        # warmup chunk
+        epoch_flag = 0 if frac < 0.2 else 100
+        state = chained(state, bank,
+                        jax.random.fold_in(jax.random.PRNGKey(seed), it0),
+                        jnp.float32(lr), jnp.int32(epoch_flag), chunk)
+    int(jax.device_get(state.seen))
+
+    folded = fold_batchnorm(net, state.params, state.batch_stats)
+    eimgs_d = jax.device_put(jnp.asarray(eimgs, jnp.float32) / 255.0)
+
+    ctxs = {c: EvalContext(
+        box_points(extents[c]),
+        np.concatenate([box_points(extents[c])[1:].T,
+                        np.ones((1, 8), np.float32)]),
+        K, float(2 * np.linalg.norm(extents[c])), 640, 480)
+        for c in range(13)}
+
+    def metrics(head):
+        decoded = decode_grid(head.astype(jnp.float32), 9, 13, 5)
+        by_cls = {}
+        for b in range(len(egts)):
+            for cls, pix_gt in egts[b]:
+                box = np.asarray(best_box_for_class(decoded, cls, 0.05))[b]
+                by_cls.setdefault(cls, []).append(
+                    (pix_gt, box[:18].reshape(9, 2) * [640, 480]))
+        errs = []
+        for cls, pairs in by_cls.items():
+            gt = np.stack([p[0] for p in pairs]).astype(np.float32)
+            pr = np.stack([p[1] for p in pairs]).astype(np.float32)
+            m = pose_metrics(gt, pr, ctxs[cls])
+            errs.extend(np.atleast_1d(m["err_2d"]).tolist())
+        errs = np.asarray(errs)
+        return (100.0 * float((errs <= 5).mean()),
+                100.0 * float((errs <= 10).mean()), float(errs.mean()))
+
+    a5_b, a10_b, px_b = metrics(
+        net.apply_folded(folded, eimgs_d, compute_dtype=jnp.bfloat16))
+    amax = calibrate_activations(net, folded, eimgs_d[:16], per_channel=True)
+    qparams = quantize_folded(net, folded, amax)
+    a5_q, a10_q, px_q = metrics(apply_quantized(net, qparams, eimgs_d))
+    return {
+        "acc2d5px_multi_shaded_bf16": round(a5_b, 2),
+        "acc2d5px_multi_shaded_int8": round(a5_q, 2),
+        "acc2d10px_multi_shaded_bf16": round(a10_b, 2),
+        "acc2d10px_multi_shaded_int8": round(a10_q, 2),
+        "px_err_multi_shaded_bf16": round(px_b, 3),
+        "px_err_multi_shaded_int8": round(px_q, 3),
+        "multi_shaded_eval_n": int(sum(len(g) for g in egts)),
+    }
+
+
 def bench_int8_acc_multi(n_scenes: int = 16, iters: int = 900) -> dict:
     """Multi-object int8 delta: the quantized OCCLUSION-style sweep.
 
@@ -1726,6 +1906,11 @@ def main():
         except Exception as e:
             print(f"# shaded accuracy bench failed: {e!r}")
             extra["acc2d5px_shaded_bf16"] = None
+        try:
+            extra.update(bench_acc_shaded_multi())
+        except Exception as e:
+            print(f"# shaded multi accuracy bench failed: {e!r}")
+            extra["acc2d5px_multi_shaded_bf16"] = None
     if args.only in (None, "int8acc"):
         try:
             extra.update(bench_int8_acc())

@@ -150,3 +150,18 @@ def test_shaded_acc_bench_body_traces(monkeypatch):
     for k in ("acc2d5px_shaded_bf16", "acc2d5px_shaded_int8",
               "px_err_shaded_bf16", "px_err_shaded_int8"):
         assert np.isfinite(r[k]), k
+
+
+def test_shaded_multi_acc_bench_body_traces(monkeypatch):
+    """bench_acc_shaded_multi end to end at tiny scale on CPU: the shaded
+    13-class corpus → DeviceSceneBank assembly, the chained on-device
+    synth→train-step loop (bank passed as an argument, not baked into the
+    program), held-out render_scene_multi eval, class-picked decode, and the
+    bf16/int8 field set."""
+    monkeypatch.setattr(bench, "SIZE", 64)
+    r = bench.bench_acc_shaded_multi(nf=2, n_eval=2, steps=4, batch=2,
+                                     chunk=2)
+    assert r["multi_shaded_eval_n"] == 6
+    for k in ("acc2d5px_multi_shaded_bf16", "acc2d5px_multi_shaded_int8",
+              "px_err_multi_shaded_bf16", "px_err_multi_shaded_int8"):
+        assert np.isfinite(r[k]), k
