@@ -5,6 +5,7 @@
   python -m singleshotpose_tpu.cli valid-multi --modelcfg --weightfile [--datacfgs ...]
   python -m singleshotpose_tpu.cli quantize    --datacfg --modelcfg --weightfile --out Q.npz
   python -m singleshotpose_tpu.cli export      --modelcfg --weightfile|--quantized --out M.sspx
+  python -m singleshotpose_tpu.cli make-labels --mesh M.ply --poses P.npz --out labels/
   python -m singleshotpose_tpu.cli print-cfg   <cfgfile>
 
 Flags match ``train.py:276-281``, ``valid.py:238-242``,
@@ -306,6 +307,13 @@ def cmd_quantize(argv: Sequence[str]) -> int:
     return 0
 
 
+def cmd_make_labels(argv: Sequence[str]) -> int:
+    """Create 21-float label files from a mesh + GT poses (the recipe the
+    reference only documents, ``label_file_creation.md``)."""
+    from .make_labels import main as run
+    return run(argv)
+
+
 def cmd_print_cfg(argv: Sequence[str]) -> int:
     from .config import parse_cfg, print_cfg
     if not argv:
@@ -328,6 +336,7 @@ COMMANDS = {
     "valid-multi": cmd_valid_multi,
     "quantize": cmd_quantize,
     "export": cmd_export,
+    "make-labels": cmd_make_labels,
     "print-cfg": cmd_print_cfg,
 }
 
